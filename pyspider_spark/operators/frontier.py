@@ -1,0 +1,445 @@
+"""Frontier operators: the priority/time/processing heaps of the reference
+re-expressed as predicates + window ranks + merges over ONE table (F1-F15,
+F19 in SURVEY.md §2.1).
+
+Reference semantics (re-expressed, not copied):
+  - ordering comparator: task_queue.py:55-66 — ready tasks (exetime==0) by
+    priority DESC, tie → sequence ASC; delayed by exetime ASC.
+  - merge-on-put: task_queue.py:83-95 — priority=max, exetime=min, original
+    sequence kept (in-place mutation preserves the first heap entry).
+  - lease: task_queue.py:135,178-188,227-242 — select ⇒ exetime=now+600 in
+    the processing set; expiry ⇒ back to ready, same sequence.
+  - batch dedup: scheduler.py:387-417 — per taskid FIRST write wins, unless
+    a later write has force_update (then last force_update wins); a taskid
+    already queued is dropped unless force_update.
+  - new/old routing + restart rules: scheduler.py:810-887.
+  - retry ladder / auto_recrawl / age cap: scheduler.py:914-988.
+
+Scale posture: every operator here is a narrow predicate, a partial agg, or
+a window over (project, host) / (project, host_bucket) — nothing collects
+the frontier. The only global per-project rank (reference heap-pop order)
+runs on a candidate set already pruned to <= quota rows per host bucket, the
+classic distributed top-k (see select_wave).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspider_spark.functions import urlkit
+from pyspider_spark.types import (
+    ACTIVE,
+    BAD,
+    FAILED,
+    LEASED,
+    PROCESSING_TIMEOUT,
+    SUCCESS,
+)
+
+# seq composition: (round_no+1) << 40 | wave_rank << 20 | channel/offset.
+# Deterministic (never monotonically_increasing_id), unique within a
+# project-round, and FIFO-faithful: parents are processed in pick order,
+# links in span order. Seeds use round 0 with their explicit ordinal.
+SEQ_ROUND_SHIFT = 40
+SEQ_RANK_SHIFT = 20
+RETRY_CHANNEL = (1 << 19) + 1  # beyond any span offset (< 2^16)
+
+
+def make_seq(round_no, wave_rank, channel):
+    return (
+        (round_no.cast("long") + 1) * (1 << SEQ_ROUND_SHIFT)
+        + wave_rank.cast("long") * (1 << SEQ_RANK_SHIFT)
+        + channel.cast("long")
+    )
+
+
+def empty_frontier(spark) -> DataFrame:
+    from pyspider_spark.types import FRONTIER_SCHEMA
+
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def release_ready(frontier: DataFrame, now: float) -> DataFrame:
+    """F3 + F4: time-queue release (exetime arrived ⇒ exetime:=0) and
+    processing-lease expiry (LEASED past lease_until ⇒ ready, same seq)."""
+    sched = F.col("schedule")
+    expired = (F.col("status") == LEASED) & (F.col("lease_until") < F.lit(now))
+    released = (F.col("status") == ACTIVE) & (sched.exetime <= F.lit(now)) & (sched.exetime != 0)
+    return frontier.withColumn(
+        "schedule",
+        F.when(
+            expired | released, sched.withField("exetime", F.lit(0.0))
+        ).otherwise(sched),
+    ).withColumn(
+        "status", F.when(expired, F.lit(ACTIVE)).otherwise(F.col("status"))
+    ).withColumn(
+        "lease_until", F.when(expired, F.lit(None).cast("double")).otherwise(F.col("lease_until"))
+    )
+
+
+def merge_candidates(cands: DataFrame) -> DataFrame:
+    """F2 + F12 batch dedup per (project, taskid).
+
+    Winner row: last force_update write if any, else first write (by seq);
+    then merge-on-put semantics fold in: priority = max over group,
+    exetime = min over group, seq = min over group (original entry kept).
+    """
+    fu = F.col("schedule").force_update
+    pick_first = F.min_by(F.struct("*"), F.col("seq"))
+    pick_fu = F.max_by(F.struct("*"), F.when(fu, F.col("seq")))
+    merged = cands.groupBy("project", "taskid").agg(
+        pick_first.alias("_first"),
+        pick_fu.alias("_fu"),
+        F.max(F.col("schedule").priority).alias("_prio"),
+        F.min(F.col("schedule").exetime).alias("_exe"),
+        F.min("seq").alias("_seq"),
+    )
+    win = F.coalesce(F.col("_fu"), F.col("_first"))
+    return (
+        merged.select(F.col("project"), F.col("taskid"), win.alias("w"), "_prio", "_exe", "_seq")
+        .select(
+            "project",
+            "taskid",
+            F.col("w.url").alias("url"),
+            F.col("w.host").alias("host"),
+            F.col("w.schedule")
+            .withField("priority", F.col("_prio"))
+            .withField("exetime", F.col("_exe"))
+            .alias("schedule"),
+            F.col("w.fetch").alias("fetch"),
+            F.col("w.process").alias("process"),
+            F.col("_seq").alias("seq"),
+        )
+    )
+
+
+def route_candidates(
+    frontier: DataFrame, cands: DataFrame, now: float, round_no: int,
+    inqueue_limits: dict[str, int] | None = None,
+    queued_counts: dict[str, int] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """F5/F9/F10/F19: route merged candidates against the frontier.
+
+    Returns (upserts, postponed): ``upserts`` are full frontier rows to
+    MERGE (insert or overwrite by (project, taskid)); ``postponed`` are
+    candidate rows to replay next round (force_update on a LEASED task —
+    scheduler.py:846-851).
+
+    The join is a left join of candidates against the frontier keyed by
+    (project, taskid) — at scale both sides are bucketed by the same key so
+    this is the co-located point-lookup join of scheduler.on_request.
+    """
+    # F19 INQUEUE_LIMIT: drop candidates past the remaining queue headroom,
+    # in arrival (seq) order — scheduler.py:814-816 quantized to the round.
+    if inqueue_limits:
+        rows = [
+            (p, max(0, int(lim) - int((queued_counts or {}).get(p, 0))))
+            for p, lim in inqueue_limits.items()
+            if lim and lim > 0
+        ]
+        if rows:
+            import builtins
+
+            spark = cands.sparkSession
+            head = spark.createDataFrame(rows, "project string, headroom long")
+            w = Window.partitionBy("project").orderBy("seq")
+            cands = (
+                cands.join(F.broadcast(head), "project", "left")
+                .withColumn("_rk", F.row_number().over(w))
+                .where(F.col("headroom").isNull() | (F.col("_rk") <= F.col("headroom")))
+                .drop("_rk", "headroom")
+            )
+
+    old = frontier.select(
+        "project",
+        "taskid",
+        F.col("status").alias("old_status"),
+        F.col("schedule").alias("old_schedule"),
+        F.col("seq").alias("old_seq"),
+        F.col("lastcrawltime").alias("old_lastcrawltime"),
+        F.col("lease_until").alias("old_lease_until"),
+        F.col("track").alias("old_track"),
+        F.col("round_no").alias("old_round_no"),
+    )
+    j = cands.join(old, ["project", "taskid"], "left")
+
+    c_sched = F.col("schedule")
+    is_new = F.col("old_status").isNull()
+    queued = F.col("old_status").isin(ACTIVE, LEASED)
+    processing = F.col("old_status") == LEASED
+    fu = F.coalesce(c_sched.force_update, F.lit(False))
+
+    # postpone: force_update on a processing task
+    postponed = j.where(processing & fu).select(cands.columns)
+
+    # drop: queued (not processing) without force_update — scheduler.py:402-405
+    j = j.where(~(queued & ~fu) | is_new)
+    j = j.where(~(processing & fu))  # handled via postponed
+
+    # restart rules — scheduler.py:852-864 (only for non-queued old tasks)
+    age = F.coalesce(c_sched.age, F.lit(-1).cast("long"))
+    itag_changed = c_sched.itag.isNotNull() & ~c_sched.itag.eqNullSafe(
+        F.col("old_schedule").itag
+    )
+    age_expired = (age >= 0) & (
+        age.cast("double") + F.coalesce(F.col("old_lastcrawltime"), F.lit(0.0)) < F.lit(now)
+    )
+    restart = itag_changed | age_expired | fu
+    keep = is_new | (queued & fu) | (~queued & restart)
+    j = j.where(keep)
+
+    cancel = F.coalesce(c_sched.cancel, F.lit(False))
+    # routed exetime: future ⇒ time queue, else ready with exetime 0 —
+    # task_queue.py:219-223
+    routed_exe = F.when(c_sched.exetime > F.lit(now), c_sched.exetime).otherwise(F.lit(0.0))
+
+    # queued + force_update ⇒ merge-on-put: max priority, min exetime,
+    # ORIGINAL seq — task_queue.py:83-95
+    merged_prio = F.greatest(c_sched.priority, F.col("old_schedule").priority)
+    merged_exe = F.least(routed_exe, F.col("old_schedule").exetime)
+
+    new_status = F.when(cancel & ~is_new, F.lit(BAD)).otherwise(F.lit(ACTIVE))
+    out_schedule = (
+        F.when(
+            queued & fu,
+            c_sched.withField("priority", merged_prio).withField("exetime", merged_exe),
+        )
+        .otherwise(c_sched.withField("exetime", routed_exe))
+    )
+    out_seq = F.when(queued, F.col("old_seq")).otherwise(F.col("seq"))
+
+    upserts = j.select(
+        "taskid",
+        "project",
+        "url",
+        "host",
+        new_status.cast("int").alias("status"),
+        out_schedule.alias("schedule"),
+        F.col("fetch"),
+        F.col("process"),
+        F.col("old_track").alias("track"),
+        F.lit(None).cast("double").alias("lease_until"),
+        out_seq.cast("long").alias("seq"),
+        F.lit(round_no).cast("int").alias("round_no"),
+        F.col("old_lastcrawltime").alias("lastcrawltime"),
+        F.lit(now).alias("updatetime"),
+    )
+    return upserts, postponed
+
+
+def select_wave(
+    frontier: DataFrame,
+    quotas: dict[str, int],
+    now: float,
+    round_no: int,
+    max_per_host: dict[str, int] | None = None,
+) -> DataFrame:
+    """F1 + F8 (+ per-host politeness cap): pick this round's fetch wave.
+
+    Distributed top-k, reference heap-pop order: rank within
+    (project, host) by (priority DESC, seq ASC) — partition-local — keep
+    host-rank <= min(per-host cap, project quota), THEN a global per-project
+    rank over that pruned set (<= quota × hosts rows) picks the exact top
+    `quota`. The union-of-per-bucket-top-k always contains the global top-k,
+    so this equals the reference's single-heap pop order while never sorting
+    a whole partition of a 10^10-row frontier.
+
+    Selected rows get a lease (status=LEASED, lease_until=now+600) and a
+    wave_rank used for deterministic follow sequencing.
+    """
+    if not quotas:
+        return frontier.sparkSession.createDataFrame([], frontier.schema.add("wave_rank", "int"))
+    spark = frontier.sparkSession
+    qrows = [
+        (p, int(q), int((max_per_host or {}).get(p, 1 << 30)))
+        for p, q in quotas.items()
+    ]
+    qdf = F.broadcast(
+        spark.createDataFrame(qrows, "project string, quota int, host_cap int")
+    )
+
+    ready = frontier.where(
+        (F.col("status") == ACTIVE) & (F.col("schedule").exetime <= F.lit(now))
+    ).join(qdf, "project", "inner").where(F.col("quota") > 0)
+
+    host_w = Window.partitionBy("project", "host").orderBy(
+        F.desc(F.col("schedule").priority), F.asc("seq")
+    )
+    pruned = ready.withColumn("host_rank", F.row_number().over(host_w)).where(
+        (F.col("host_rank") <= F.col("host_cap")) & (F.col("host_rank") <= F.col("quota"))
+    )
+    proj_w = Window.partitionBy("project").orderBy(
+        F.desc(F.col("schedule").priority), F.asc("seq")
+    )
+    wave = (
+        pruned.withColumn("wave_rank", F.row_number().over(proj_w))
+        .where(F.col("wave_rank") <= F.col("quota"))
+        .drop("host_rank", "quota", "host_cap")
+    )
+    return wave.withColumn("status", F.lit(LEASED)).withColumn(
+        "lease_until", F.lit(now + PROCESSING_TIMEOUT)
+    )
+
+
+def apply_outcomes(
+    outcomes: DataFrame,
+    now: float,
+    round_no: int,
+    retry_delay: dict | None = None,
+    default_retries: int = 3,
+) -> DataFrame:
+    """F13/F14/F15 + F7: turn wave outcome rows into frontier upserts.
+
+    ``outcomes`` = wave rows + (fetch_ok, process_ok boolean columns, track
+    struct). Mirrors scheduler.on_task_done / on_task_failed:
+      - done: SUCCESS (or ACTIVE + exetime=now+age when auto_recrawl & age)
+      - failed: delay = retry_delay[retried] (fallback ''), auto_recrawl&age
+        ⇒ min(delay, age) and never hard-FAILED; else retried>=retries ⇒
+        FAILED, age caps the delay; retry keeps ACTIVE with retried+1 and a
+        FRESH sequence (put after done() re-enqueues a new entry).
+    """
+    rd = retry_delay or {0: 30, 1: 3600, 2: 21600, 3: 43200, "": 86400}
+    fallback = float(rd.get("", 86400))
+    sched = F.col("schedule")
+    retries = F.coalesce(sched.retries, F.lit(default_retries))
+    retried = F.coalesce(sched.retried, F.lit(0))
+    age = F.coalesce(sched.age, F.lit(-1).cast("long"))
+    age_set = age >= 0
+    auto = F.coalesce(sched.auto_recrawl, F.lit(False)) & age_set
+
+    delay = F.lit(fallback)
+    for k in sorted([k for k in rd if k != ""], reverse=True):
+        delay = F.when(retried == int(k), F.lit(float(rd[k]))).otherwise(delay)
+    delay = F.when(auto, F.least(delay, age.cast("double"))).otherwise(
+        F.when(retried >= retries, F.lit(-1.0)).otherwise(
+            F.when(age_set & (delay > age.cast("double")), age.cast("double")).otherwise(delay)
+        )
+    )
+
+    ok = F.col("process_ok")
+    hard_fail = ~ok & (delay < 0)
+    requeue = (~ok & (delay >= 0)) | (ok & auto)
+
+    new_status = (
+        F.when(ok & ~auto, F.lit(SUCCESS))
+        .when(ok & auto, F.lit(ACTIVE))
+        .when(hard_fail, F.lit(FAILED))
+        .otherwise(F.lit(ACTIVE))
+    )
+    new_exetime = (
+        F.when(ok & auto, F.lit(now) + age.cast("double"))
+        .when(~ok & (delay >= 0), F.lit(now) + delay)
+        .otherwise(F.lit(0.0))
+    )
+    new_retried = F.when(~ok & (delay >= 0), retried + 1).otherwise(retried)
+    # fresh sequence for the re-queued entry (reference allocates a new
+    # InQueueTask after done() removed the old one)
+    fresh_seq = make_seq(F.lit(round_no), F.col("wave_rank"), F.lit(RETRY_CHANNEL))
+    new_seq = F.when(requeue, fresh_seq).otherwise(F.col("seq"))
+
+    return outcomes.select(
+        "taskid",
+        "project",
+        "url",
+        "host",
+        new_status.cast("int").alias("status"),
+        sched.withField("exetime", new_exetime)
+        .withField("retried", new_retried)
+        .alias("schedule"),
+        F.col("fetch"),
+        F.col("process"),
+        F.col("track"),
+        F.lit(None).cast("double").alias("lease_until"),
+        new_seq.cast("long").alias("seq"),
+        F.lit(round_no).cast("int").alias("round_no"),
+        F.lit(now).alias("lastcrawltime"),
+        F.lit(now).alias("updatetime"),
+    )
+
+
+def merge_frontier(
+    frontier: DataFrame, upserts: DataFrame, keys_subset: bool = False
+) -> DataFrame:
+    """MERGE INTO emulation: upsert rows win by (project, taskid).
+
+    With Iceberg this is `MERGE INTO frontier USING upserts ON ...` and
+    prunes to touched (project, host_bucket) partitions; the parquet-
+    snapshot store emulates it with a coalesce join — the same shuffle
+    MERGE would do, minus file-level pruning.
+
+    ``keys_subset=True`` asserts every upsert key already exists in the
+    frontier (e.g. wave outcomes): the full-outer degrades to a LEFT join,
+    which Spark can execute as a broadcast-hash join when the upsert side
+    is wave-sized — no frontier shuffle at all.
+    """
+    cols = frontier.columns
+    lhs = frontier.select(
+        F.col("project"), F.col("taskid"), F.struct(*cols).alias("_l")
+    )
+    rhs = upserts.select(
+        F.col("project"), F.col("taskid"), F.struct(*cols).alias("_r")
+    )
+    how = "left_outer" if keys_subset else "full_outer"
+    merged = lhs.join(rhs, ["project", "taskid"], how).select(
+        F.coalesce(F.col("_r"), F.col("_l")).alias("row")
+    )
+    return merged.select("row.*")
+
+
+def queue_sizes(frontier: DataFrame, now: float) -> dict[str, int]:
+    """F21/F23: reference task_queue.size() per project (priority + time +
+    processing ⇒ ACTIVE or LEASED). One small agg collected to the driver."""
+    rows = (
+        frontier.where(F.col("status").isin(ACTIVE, LEASED))
+        .groupBy("project")
+        .count()
+        .collect()
+    )
+    return {r["project"]: r["count"] for r in rows}
+
+
+def status_counts(frontier: DataFrame) -> DataFrame:
+    """F23 status-count bootstrap as a DataFrame (also metric M1)."""
+    return frontier.groupBy("project", "status").count()
+
+
+def candidates_from_seeds(seeds: DataFrame, now: float) -> DataFrame:
+    """Turn a seed list (project,url,priority,exetime[,ordinal]) into
+    candidate rows (round 0, seq = ordinal)."""
+    w = Window.partitionBy("project").orderBy(F.desc("priority"), F.asc("url"))
+    ordinal = F.row_number().over(w)  # seeds are tiny; window is fine
+    url = urlkit.canonical(F.col("url"))
+    return seeds.select(
+        F.col("project"),
+        url.alias("url"),
+        F.col("priority"),
+        F.col("exetime"),
+        ordinal.cast("long").alias("seq"),
+    ).select(
+        "project",
+        urlkit.taskid_of(F.col("url")).alias("taskid"),
+        "url",
+        urlkit.host_of(F.col("url")).alias("host"),
+        F.struct(
+            F.col("priority").cast("int").alias("priority"),
+            F.lit(3).cast("int").alias("retries"),
+            F.lit(0).cast("int").alias("retried"),
+            F.col("exetime").cast("double").alias("exetime"),
+            F.lit(-1).cast("long").alias("age"),
+            F.lit(None).cast("string").alias("itag"),
+            F.lit(False).alias("force_update"),
+            F.lit(False).alias("auto_recrawl"),
+            F.lit(False).alias("cancel"),
+        ).alias("schedule"),
+        F.struct(
+            F.lit("GET").alias("method"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit(None).cast("string").alias("data"),
+            F.lit(120).cast("int").alias("timeout"),
+            F.lit(None).cast("string").alias("save"),
+            F.lit(True).alias("robots_txt"),
+        ).alias("fetch"),
+        F.struct(F.lit("index_page").alias("callback")).alias("process"),
+        "seq",
+    )

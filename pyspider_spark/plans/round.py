@@ -1,0 +1,143 @@
+"""One scheduling round as a single DataFrame DAG (SURVEY.md §3.1).
+
+Reference loop (scheduler.run_once, scheduler.py:661-671) quantized:
+
+    frontier ──release(F3/F4)──► ready ──quota(F6/F8)──► wave(F1)
+        │                                        │
+        │                       robots(X5) → fetch-join(X1/X7/X8)
+        │                                        │
+        │                     process(P1/P7) ──► outcomes(F13-F15)
+        │                                        │ links(P3/P4/P6)
+        ├──◄─ MERGE outcomes (left join, wave-sized right ⇒ broadcast)
+        └──◄─ MERGE routed candidates (F2/F12 → F5/F9/F10/F19)
+
+The five reference queues disappear; the round boundary is the only
+barrier; a store commit (Iceberg snapshot / parquet manifest flip) is the
+transactional handoff. Per-round shuffle budget: ONE frontier-wide
+full-outer merge (the MERGE INTO) + partial aggs; the outcome merge
+broadcasts (wave-sized); everything else is wave-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspider_spark.operators import politeness
+from pyspider_spark.operators.extract import extract_links, process_wave
+from pyspider_spark.operators.fetch import build_track, robots_gate, simulated_fetch
+from pyspider_spark.operators.frontier import (
+    apply_outcomes,
+    merge_candidates,
+    merge_frontier,
+    queue_sizes,
+    release_ready,
+    route_candidates,
+    select_wave,
+)
+from pyspider_spark.operators.results import results_from_wave
+from pyspider_spark.types import LOOP_LIMIT
+
+
+@dataclass
+class RoundConfig:
+    projects: dict[str, dict]  # project -> {rate, burst, retries, retry_delay, ...}
+    loop_limit: int = LOOP_LIMIT
+    round_interval: float = 1.0
+    start_time: float = 1_700_000_000.0  # fixed epoch: determinism (no wall clock)
+
+    def clock(self, round_no: int) -> float:
+        return self.start_time + round_no * self.round_interval
+
+
+@dataclass
+class RoundState:
+    frontier: DataFrame
+    budget: politeness.BudgetState = field(default_factory=politeness.BudgetState)
+    postponed: DataFrame | None = None
+    round_no: int = 0
+
+
+@dataclass
+class RoundOutput:
+    state: RoundState
+    wave: DataFrame
+    processed: DataFrame
+    results: DataFrame
+    selected_counts: dict[str, int]
+    metrics: dict[str, dict[str, float]]
+
+
+def run_round(
+    state: RoundState,
+    documents: DataFrame,
+    config: RoundConfig,
+    robots: DataFrame | None = None,
+    extra_candidates: DataFrame | None = None,
+) -> RoundOutput:
+    round_no = state.round_no
+    now = config.clock(round_no)
+
+    # F3/F4: release time-queue arrivals + expired leases
+    f = release_ready(state.frontier, now)
+
+    # F6/F8: per-project wave quotas (driver-side small state)
+    qsizes = queue_sizes(f, now)
+    quotas = politeness.round_quotas(
+        state.budget, config.projects, qsizes, now, config.loop_limit
+    )
+    max_per_host = {
+        p: cfg.get("max_per_host_per_round", 1 << 30) for p, cfg in config.projects.items()
+    }
+
+    # F1/F8: select + lease
+    wave = select_wave(f, quotas, now, round_no, max_per_host).persist()
+    selected_counts = {
+        r["project"]: r["count"] for r in wave.groupBy("project").count().collect()
+    }
+    politeness.consume(state.budget, selected_counts)
+
+    # X5 → X1/X7/X8 → P1/P7
+    fetched = simulated_fetch(robots_gate(wave, robots), documents, now)
+    processed = process_wave(fetched).withColumn("track", build_track(now)).persist()
+
+    # F13-F15: outcomes back into the frontier (wave-sized ⇒ broadcast merge)
+    retry_delay = next(iter(config.projects.values())).get("retry_delay") if config.projects else None
+    outcome_rows = apply_outcomes(processed, now, round_no, retry_delay)
+    f2 = merge_frontier(f, outcome_rows, keys_subset=True)
+
+    # P3/P4/P6 → F11/F12 → F5/F9/F10/F19: follows + postponed replays
+    cands = extract_links(processed, round_no)
+    if state.postponed is not None:
+        cands = cands.unionByName(state.postponed)
+    if extra_candidates is not None:
+        cands = cands.unionByName(extra_candidates)
+    merged_cands = merge_candidates(cands)
+    inqueue_limits = {
+        p: cfg.get("inqueue_limit", 0) for p, cfg in config.projects.items()
+    }
+    upserts, postponed = route_candidates(
+        f2, merged_cands, now, round_no,
+        inqueue_limits=inqueue_limits, queued_counts=qsizes,
+    )
+    new_frontier = merge_frontier(f2, upserts)
+
+    results = results_from_wave(processed, now)
+    metrics = {
+        p: {
+            "selected": float(n),
+            "quota": float(quotas.get(p, 0)),
+            "queue_size": float(qsizes.get(p, 0)),
+        }
+        for p, n in {**{q: 0 for q in quotas}, **selected_counts}.items()
+    }
+
+    new_state = RoundState(
+        frontier=new_frontier,
+        budget=state.budget,
+        postponed=postponed,
+        round_no=round_no + 1,
+    )
+    return RoundOutput(new_state, wave, processed, results, selected_counts, metrics)

@@ -1,0 +1,90 @@
+"""Snapshot store: checkpoint-resumable table state.
+
+The design targets Iceberg (`MERGE INTO` + snapshot = checkpoint); this
+sandbox has no Iceberg runtime jar, so ``SnapshotStore`` provides the same
+contract over parquet: each commit writes a new immutable snapshot
+directory and atomically flips a manifest pointer (rename), so a killed run
+resumes from the last committed round with frontier + budget state + round
+counter intact. Swapping in Iceberg is a one-class change (writes become
+MERGE INTO / append, the manifest becomes the Iceberg snapshot id).
+
+Layout:
+    root/
+      MANIFEST.json             -> {"round_no": k, "snapshot": "round_k", ...}
+      frontier/round_k/*.parquet  (partitioned by project, host_bucket)
+      results/part-*.parquet      (append-only log)
+      metrics/part-*.parquet      (append-only log)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspider_spark.functions.urlkit import host_bucket
+
+MANIFEST = "MANIFEST.json"
+
+
+class SnapshotStore:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+    def read_manifest(self) -> dict | None:
+        path = os.path.join(self.root, MANIFEST)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.root, MANIFEST))  # atomic flip
+
+    # -- frontier snapshots ---------------------------------------------------
+    def frontier_path(self, round_no: int) -> str:
+        return os.path.join(self.root, "frontier", f"round_{round_no}")
+
+    def write_frontier(self, frontier: DataFrame, round_no: int, n_buckets: int = 16) -> None:
+        """Snapshot partitioned by (project, host_bucket): rank-select
+        windows and candidate anti-joins then read co-located data, and
+        partition pruning serves per-project reads."""
+        (
+            frontier.withColumn("host_bucket", host_bucket(F.col("host"), n_buckets))
+            .repartition("project", "host_bucket")
+            .write.mode("overwrite")
+            .partitionBy("project", "host_bucket")
+            .parquet(self.frontier_path(round_no))
+        )
+
+    def read_frontier(self, round_no: int) -> DataFrame:
+        return self.spark.read.parquet(self.frontier_path(round_no)).drop("host_bucket")
+
+    # -- append-only logs -----------------------------------------------------
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(os.path.join(self.root, name))
+
+    def read_log(self, name: str) -> DataFrame:
+        path = os.path.join(self.root, name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return self.spark.read.parquet(path)
+
+    # -- round commit ---------------------------------------------------------
+    def commit_round(self, round_no: int, budget_state: dict, extra: dict | None = None) -> None:
+        manifest = {
+            "round_no": round_no,
+            "snapshot": f"round_{round_no}",
+            "budget_state": budget_state,
+            **(extra or {}),
+        }
+        self._commit_manifest(manifest)

@@ -1,0 +1,189 @@
+"""Schemas and status constants.
+
+Task schema mirrors the reference's canonical task dict
+(/root/reference/pyspider/database/base/taskdb.py:9-56) but as real nested
+StructTypes instead of JSON-string columns; the interleaved documents schema
+is the BASELINE.json input_hint shape verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Status enum — /root/reference/pyspider/database/base/taskdb.py:60-63,
+# plus LEASED: the reference models "selected but not finished" as presence
+# in the in-memory `processing` heap (task_queue.py:141); with no heaps we
+# make it an explicit status so it survives checkpoints.
+ACTIVE = 1
+SUCCESS = 2
+FAILED = 3
+BAD = 4
+LEASED = 5
+
+STATUS_NAMES = {ACTIVE: "ACTIVE", SUCCESS: "SUCCESS", FAILED: "FAILED", BAD: "BAD", LEASED: "LEASED"}
+
+# Processing lease timeout — task_queue.py:135 (10 * 60 seconds).
+PROCESSING_TIMEOUT = 600.0
+
+# Default retry ladder — scheduler.py:155-161. Key '' = fallback.
+DEFAULT_RETRY_DELAY = {0: 30, 1: 60 * 60, 2: 6 * 60 * 60, 3: 12 * 60 * 60, "": 24 * 60 * 60}
+DEFAULT_RETRIES = 3
+
+# Fair-select clamps — scheduler.py:149,500-522.
+LOOP_LIMIT = 1000
+
+SCHEDULE_TYPE = StructType(
+    [
+        StructField("priority", IntegerType()),
+        StructField("retries", IntegerType()),
+        StructField("retried", IntegerType()),
+        StructField("exetime", DoubleType()),
+        StructField("age", LongType()),
+        StructField("itag", StringType()),
+        StructField("force_update", BooleanType()),
+        StructField("auto_recrawl", BooleanType()),
+        StructField("cancel", BooleanType()),
+    ]
+)
+
+FETCH_TYPE = StructType(
+    [
+        StructField("method", StringType()),
+        StructField("headers", MapType(StringType(), StringType())),
+        StructField("data", StringType()),
+        StructField("timeout", IntegerType()),
+        StructField("save", StringType()),  # opaque JSON (P12)
+        StructField("robots_txt", BooleanType()),
+    ]
+)
+
+PROCESS_TYPE = StructType([StructField("callback", StringType())])
+
+TRACK_FETCH_TYPE = StructType(
+    [
+        StructField("ok", BooleanType()),
+        StructField("time", DoubleType()),
+        StructField("status_code", IntegerType()),
+        StructField("encoding", StringType()),
+        StructField("error", StringType()),
+        StructField("redirect_url", StringType()),
+    ]
+)
+
+TRACK_PROCESS_TYPE = StructType(
+    [
+        StructField("ok", BooleanType()),
+        StructField("time", DoubleType()),
+        StructField("follows", IntegerType()),
+        StructField("exception", StringType()),
+    ]
+)
+
+TRACK_TYPE = StructType(
+    [
+        StructField("fetch", TRACK_FETCH_TYPE),
+        StructField("process", TRACK_PROCESS_TYPE),
+        StructField("save", StringType()),
+    ]
+)
+
+# The frontier — one row per (project, taskid). Partition story at scale:
+# written bucketed/partitioned by (project, pmod(hash(host), N_BUCKETS)) so
+# the rank-select window and the anti-join both run partition-local.
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("taskid", StringType(), False),
+        StructField("project", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("host", StringType()),
+        StructField("status", IntegerType(), False),
+        StructField("schedule", SCHEDULE_TYPE),
+        StructField("fetch", FETCH_TYPE),
+        StructField("process", PROCESS_TYPE),
+        StructField("track", TRACK_TYPE),
+        StructField("lease_until", DoubleType()),
+        StructField("seq", LongType()),
+        StructField("round_no", IntegerType()),
+        StructField("lastcrawltime", DoubleType()),
+        StructField("updatetime", DoubleType()),
+    ]
+)
+
+# Interleaved documents — BASELINE.json input_hint shape, exactly.
+SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),       # text | link | media
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),  # canonical URL
+        StructField("spans", ArrayType(SPAN_TYPE)),
+    ]
+)
+
+RESULTS_SCHEMA = StructType(
+    [
+        StructField("taskid", StringType(), False),
+        StructField("project", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("result", StringType()),
+        StructField("updatetime", DoubleType()),
+    ]
+)
+
+PROJECT_CONFIG_SCHEMA = StructType(
+    [
+        StructField("project", StringType(), False),
+        StructField("status", StringType()),
+        StructField("rate", DoubleType()),
+        StructField("burst", DoubleType()),
+        StructField("min_tick", LongType()),
+        StructField("retry_delay", MapType(StringType(), LongType())),
+        StructField("retries", IntegerType()),
+        StructField("max_per_host_per_round", IntegerType()),
+        StructField("inqueue_limit", LongType()),
+    ]
+)
+
+SEEDS_SCHEMA = StructType(
+    [
+        StructField("project", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("priority", IntegerType()),
+        StructField("exetime", DoubleType()),
+    ]
+)
+
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("path_prefix", StringType(), False),
+        StructField("allow", BooleanType(), False),
+        StructField("fetched_at", DoubleType()),
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("round_no", IntegerType(), False),
+        StructField("round_ts", DoubleType(), False),
+        StructField("project", StringType()),
+        StructField("metric", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)

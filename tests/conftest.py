@@ -1,0 +1,10 @@
+import pytest
+
+from pyspider_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("pyspider-spark-tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()
