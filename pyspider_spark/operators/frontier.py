@@ -79,11 +79,15 @@ def release_ready(frontier: DataFrame, now: float) -> DataFrame:
 
 
 def merge_candidates(cands: DataFrame) -> DataFrame:
-    """F2 + F12 batch dedup per (project, taskid).
+    """F12 batch dedup per (project, taskid) — scheduler.py:387-417.
 
-    Winner row: last force_update write if any, else first write (by seq);
-    then merge-on-put semantics fold in: priority = max over group,
-    exetime = min over group, seq = min over group (original entry kept).
+    Winner payload: the FIRST write, unless a later write has force_update
+    (then the last force_update write) — a dict keyed by taskid where
+    non-force_update duplicates are skipped. The effective queue position
+    is the first-seen one (dict insertion order survives value updates), so
+    seq = min over the group. Merge-on-put max/min (F2) deliberately does
+    NOT apply here — it only fires against an already-QUEUED task
+    (route_candidates handles that case).
     """
     fu = F.col("schedule").force_update
     pick_first = F.min_by(F.struct("*"), F.col("seq"))
@@ -91,26 +95,18 @@ def merge_candidates(cands: DataFrame) -> DataFrame:
     merged = cands.groupBy("project", "taskid").agg(
         pick_first.alias("_first"),
         pick_fu.alias("_fu"),
-        F.max(F.col("schedule").priority).alias("_prio"),
-        F.min(F.col("schedule").exetime).alias("_exe"),
         F.min("seq").alias("_seq"),
     )
     win = F.coalesce(F.col("_fu"), F.col("_first"))
-    return (
-        merged.select(F.col("project"), F.col("taskid"), win.alias("w"), "_prio", "_exe", "_seq")
-        .select(
-            "project",
-            "taskid",
-            F.col("w.url").alias("url"),
-            F.col("w.host").alias("host"),
-            F.col("w.schedule")
-            .withField("priority", F.col("_prio"))
-            .withField("exetime", F.col("_exe"))
-            .alias("schedule"),
-            F.col("w.fetch").alias("fetch"),
-            F.col("w.process").alias("process"),
-            F.col("_seq").alias("seq"),
-        )
+    return merged.select(F.col("project"), F.col("taskid"), win.alias("w"), "_seq").select(
+        "project",
+        "taskid",
+        F.col("w.url").alias("url"),
+        F.col("w.host").alias("host"),
+        F.col("w.schedule").alias("schedule"),
+        F.col("w.fetch").alias("fetch"),
+        F.col("w.process").alias("process"),
+        F.col("_seq").alias("seq"),
     )
 
 

@@ -1,0 +1,56 @@
+"""URL kernel semantics vs the reference contract
+(/root/reference/pyspider/libs/url.py:29-70, base_handler.py:342-344)."""
+
+import pandas as pd
+
+from pyspider_spark.functions.urlkit import _canonicalize_batch, canonicalize_url
+
+
+def test_strip_and_default_path():
+    assert canonicalize_url("  http://a.test  ") == "http://a.test/"
+    assert canonicalize_url("http://a.test?q=1") == "http://a.test/?q=1"
+
+
+def test_scheme_lowercased_host_preserved():
+    # urlparse lowercases the scheme; idna leaves all-ASCII hosts as-is
+    # (matching the reference: netloc.encode('idna') on ASCII is identity)
+    assert canonicalize_url("HTTP://a.test/x") == "http://a.test/x"
+    assert canonicalize_url("http://A.TEST/x") == "http://A.TEST/x"
+
+
+def test_relative_join():
+    base = "http://a.test/dir/page?n=1"
+    assert canonicalize_url("/page?n=2", base) == "http://a.test/page?n=2"
+    assert canonicalize_url("other", base) == "http://a.test/dir/other"
+    assert canonicalize_url("?n=3", base) == "http://a.test/dir/page?n=3"
+
+
+def test_non_ascii_percent_encoded():
+    # quote_chinese semantics: non-ASCII bytes -> %XX of utf-8 encoding
+    out = canonicalize_url("http://a.test/中文")
+    assert out == "http://a.test/%E4%B8%AD%E6%96%87"
+
+
+def test_idna_host():
+    out = canonicalize_url("http://中文.test/x")
+    assert out == "http://xn--fiq228c.test/x"
+
+
+def test_fragment_kept():
+    assert canonicalize_url("http://a.test/x#frag") == "http://a.test/x#frag"
+
+
+def test_batch_matches_scalar():
+    hrefs = [
+        "http://a.test/x?q=1",
+        "  http://a.test/pad ",
+        "/rel?n=2",
+        "HTTP://b.test/up",
+        "http://a.test",
+        "http://a.test/中文",
+        None,
+    ]
+    bases = ["http://base.test/dir/page"] * len(hrefs)
+    got = _canonicalize_batch(pd.Series(hrefs), pd.Series(bases))
+    want = [canonicalize_url(h, b) if h is not None else None for h, b in zip(hrefs, bases)]
+    assert list(got) == want
