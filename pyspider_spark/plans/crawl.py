@@ -57,10 +57,19 @@ def crawl(
     store: SnapshotStore | None = None,
     collect_results: bool = True,
     on_round=None,
+    use_bloom: bool = False,
+    bloom_expected: int = 1 << 20,
 ) -> CrawlReport:
     state = bootstrap(spark, seeds, config)
+    bloom = None
+    if use_bloom:
+        from pyspider_spark.operators.urlseen import ShardedBloom
+
+        bloom = ShardedBloom(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
+        bloom.add_df(state.frontier)
     return _loop(
-        spark, state, documents, config, robots, max_rounds, store, collect_results, on_round
+        spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
+        bloom=bloom,
     )
 
 
@@ -87,19 +96,24 @@ def resume(
 
 
 def _loop(
-    spark, state, documents, config, robots, max_rounds, store, collect_results, on_round
+    spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
+    bloom=None,
 ) -> CrawlReport:
     selected_total = 0
     results_total = 0
     all_results: DataFrame | None = None
 
     for _ in range(max_rounds):
-        out: RoundOutput = run_round(state, documents, config, robots)
+        out: RoundOutput = run_round(state, documents, config, robots, bloom=bloom)
         n_selected = sum(out.selected_counts.values())
         selected_total += n_selected
 
         new_frontier = out.state.frontier.localCheckpoint(eager=True)
         out.state.frontier = new_frontier
+        if bloom is not None:
+            # fold this round's (possibly) new taskids into the URL-seen set;
+            # re-adding known ids is a no-op, so the whole round delta is safe
+            bloom.add_df(new_frontier.where(new_frontier.round_no == out.state.round_no - 1))
         if out.state.postponed is not None:
             out.state.postponed = out.state.postponed.localCheckpoint(eager=True)
             if out.state.postponed.isEmpty():

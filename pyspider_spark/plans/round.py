@@ -76,6 +76,7 @@ def run_round(
     config: RoundConfig,
     robots: DataFrame | None = None,
     extra_candidates: DataFrame | None = None,
+    bloom=None,
 ) -> RoundOutput:
     round_no = state.round_no
     now = config.clock(round_no)
@@ -118,10 +119,25 @@ def run_round(
     inqueue_limits = {
         p: cfg.get("inqueue_limit", 0) for p, cfg in config.projects.items()
     }
-    upserts, postponed = route_candidates(
-        f2, merged_cands, now, round_no,
-        inqueue_limits=inqueue_limits, queued_counts=qsizes,
-    )
+    if bloom is not None:
+        # URL-seen prefilter: bloom negatives are DEFINITELY new ⇒ plain
+        # inserts, no frontier join; positives take the exact route join
+        # (which also resolves restart rules). Sound: no false negatives.
+        definitely_new, maybe_seen = bloom.split_candidates(merged_cands)
+        inserts, _ = route_candidates(
+            f2.limit(0), definitely_new, now, round_no,
+            inqueue_limits=inqueue_limits, queued_counts=qsizes,
+        )
+        routed, postponed = route_candidates(
+            f2, maybe_seen, now, round_no,
+            inqueue_limits=inqueue_limits, queued_counts=qsizes,
+        )
+        upserts = routed.unionByName(inserts)
+    else:
+        upserts, postponed = route_candidates(
+            f2, merged_cands, now, round_no,
+            inqueue_limits=inqueue_limits, queued_counts=qsizes,
+        )
     new_frontier = merge_frontier(f2, upserts)
 
     results = results_from_wave(processed, now)

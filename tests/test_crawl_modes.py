@@ -1,0 +1,71 @@
+"""Crawl-mode equivalences: bloom prefilter path == exact path, and
+checkpoint/resume reproduces the uninterrupted run (north rule:
+checkpoint-resumable frontier state)."""
+
+import pytest
+
+from pyspider_spark.plans.crawl import crawl, resume
+from pyspider_spark.plans.round import RoundConfig
+from pyspider_spark.sources.store import SnapshotStore
+from pyspider_spark.synth import synth_documents, synth_robots, synth_seeds
+
+TOTAL, SHOW, HOSTS, SEEDS = 50, 4, 3, 4
+
+
+def mk_cfg():
+    return RoundConfig(
+        projects={"bench": {"rate": 1e9, "burst": 1e9,
+                            "retry_delay": {0: 30, 1: 3600, 2: 21600, 3: 43200, "": 86400}}},
+        loop_limit=10000,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = synth_documents(spark, total=TOTAL, show=SHOW, hosts=HOSTS).cache()
+    docs.count()
+    return docs
+
+
+def snapshot(frontier):
+    return {
+        (r["project"], r["taskid"]): (r["status"], r["seq"], r["schedule"]["retried"])
+        for r in frontier.collect()
+    }
+
+
+def test_bloom_path_equals_exact_path(spark, corpus):
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS)
+    robots = synth_robots(spark, hosts=HOSTS)
+    exact = crawl(spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15)
+    bloomed = crawl(
+        spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15,
+        use_bloom=True, bloom_expected=4096,
+    )
+    assert exact.rounds == bloomed.rounds
+    assert exact.selected_total == bloomed.selected_total
+    assert snapshot(exact.frontier) == snapshot(bloomed.frontier)
+
+
+def test_checkpoint_resume_identical(spark, corpus, tmp_path_factory):
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS)
+    robots = synth_robots(spark, hosts=HOSTS)
+
+    full = crawl(spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15)
+
+    # interrupted run: stop after 3 rounds (kill point), then resume
+    store = SnapshotStore(str(tmp_path_factory.mktemp("ckpt")), spark)
+    crawl(spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=3, store=store)
+    manifest = store.read_manifest()
+    assert manifest["round_no"] == 2  # rounds 0,1,2 committed
+
+    resumed = resume(spark, store, corpus, mk_cfg(), robots=robots, max_rounds=15)
+    assert snapshot(full.frontier) == snapshot(resumed.frontier)
+    assert full.rounds == resumed.rounds
+    # results log = every round's results, no duplicates
+    results = store.read_log("results")
+    assert results.count() == full.results_total
+    assert results.select("taskid").distinct().count() == full.results_total
+    # metrics/lineage rows exist for every committed round
+    metrics = store.read_log("metrics")
+    assert metrics.select("round_no").distinct().count() == full.rounds
