@@ -162,8 +162,10 @@ def route_candidates(
 
     c_sched = F.col("schedule")
     is_new = F.col("old_status").isNull()
-    queued = F.col("old_status").isin(ACTIVE, LEASED)
-    processing = F.col("old_status") == LEASED
+    # null-safe: old_status is NULL for new tasks — a bare isin/== would
+    # yield NULL and silently drop rows in where()
+    queued = F.coalesce(F.col("old_status").isin(ACTIVE, LEASED), F.lit(False))
+    processing = F.col("old_status").eqNullSafe(F.lit(LEASED))
     fu = F.coalesce(c_sched.force_update, F.lit(False))
 
     # postpone: force_update on a processing task
@@ -398,6 +400,101 @@ def queue_sizes(frontier: DataFrame, now: float) -> dict[str, int]:
 def status_counts(frontier: DataFrame) -> DataFrame:
     """F23 status-count bootstrap as a DataFrame (also metric M1)."""
     return frontier.groupBy("project", "status").count()
+
+
+def synthetic_candidates(spark, items: list[dict], round_no: int) -> DataFrame | None:
+    """F16/F17/P9: build candidate rows for synthetic tasks ('on_finished',
+    '_on_cronjob', '_on_message') — data: URLs, explicit taskid (the
+    reference uses the literal name, scheduler.py:549-561), priority 9 +
+    force_update for events. ``items``: [{project, taskid, url, callback,
+    priority?, save?}]; seq slots above any real candidate of the round."""
+    if not items:
+        return None
+    rows = []
+    for i, it in enumerate(items):
+        rows.append(
+            (
+                it["project"],
+                it["taskid"],
+                it["url"],
+                None,  # host (data: URLs have none)
+                (
+                    it.get("priority", 9), 3, 0, 0.0, it.get("age", 0), None,
+                    it.get("force_update", True), False, False,
+                ),
+                ("GET", None, None, 120, it.get("save"), False),
+                (it["callback"],),
+                make_seq_py(round_no, (1 << 19) - 1, i + 1),
+            )
+        )
+    from pyspider_spark.types import FETCH_TYPE, PROCESS_TYPE, SCHEDULE_TYPE
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("project", StringType(), False),
+            StructField("taskid", StringType(), False),
+            StructField("url", StringType(), False),
+            StructField("host", StringType()),
+            StructField("schedule", SCHEDULE_TYPE),
+            StructField("fetch", FETCH_TYPE),
+            StructField("process", PROCESS_TYPE),
+            StructField("seq", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).select(
+        "project", "taskid", "url", "host", "schedule", "fetch", "process", "seq"
+    )
+
+
+def make_seq_py(round_no: int, wave_rank: int, channel: int) -> int:
+    return ((round_no + 1) << SEQ_ROUND_SHIFT) + (wave_rank << SEQ_RANK_SHIFT) + channel
+
+
+# synthetic-wave ranks sit above any selectable quota so follow seqs never
+# collide with real wave ranks (quota <= loop_limit << SYNTH_RANK_BASE)
+SYNTH_RANK_BASE = 1 << 18
+
+
+def synthetic_wave(spark, items: list[dict], round_no: int, now: float) -> DataFrame | None:
+    """F16/P9: cronjob/_on_message tasks bypass the frontier entirely (the
+    reference injects them straight at the fetcher, scheduler.py:433-448;
+    their status pack is dropped because task_queue.done fails) — they are
+    fetched + processed + produce follows/results, but never become
+    frontier rows and never consume politeness tokens."""
+    if not items:
+        return None
+    from pyspider_spark.types import FRONTIER_SCHEMA
+
+    rows = []
+    for i, it in enumerate(items):
+        rows.append(
+            (
+                it["taskid"],
+                it["project"],
+                it["url"],
+                None,
+                LEASED,
+                (it.get("priority", 0), 3, 0, 0.0, it.get("age", -1), None, False, False, False),
+                ("GET", None, None, 120, it.get("save"), False),
+                (it["callback"],),
+                None,
+                now + PROCESSING_TIMEOUT,
+                make_seq_py(round_no, SYNTH_RANK_BASE + i + 1, 0),
+                round_no,
+                None,
+                now,
+            )
+        )
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    from pyspark.sql.window import Window as W
+
+    return df.withColumn(
+        "wave_rank",
+        (F.lit(SYNTH_RANK_BASE) + F.row_number().over(W.partitionBy("project").orderBy("seq"))).cast("int"),
+    )
 
 
 def candidates_from_seeds(seeds: DataFrame, now: float) -> DataFrame:

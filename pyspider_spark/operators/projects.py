@@ -1,0 +1,128 @@
+"""Project runtime state: cronjob ticks (F16), on_finished events (F17),
+auto-pause FSM (F18) — driver-side O(#projects) state, like the budget.
+
+Reference semantics re-expressed (not copied):
+  - cronjob: scheduler.py:419-449 — every elapsed tick where
+    ``tick % min_tick == 0`` injects a synthetic '_on_cronjob' task
+    (data: URL, SUCCESS-path, never persisted to the frontier).
+  - on_finished: scheduler.py:541-561 — when a project that had selected
+    tasks drains, wait FAIL_PAUSE_NUM idle loops, then inject an
+    'on_finished' task (priority 9, age 0, force_update).
+  - pause FSM: scheduler.py:51-102 — last FAIL_PAUSE_NUM=10 completed
+    (non-select) tasks all failed ⇒ paused for PAUSE_TIME=300s ⇒
+    'checking': next UNPAUSE_CHECK_NUM=3 all fail ⇒ paused again, any
+    success ⇒ unpaused. The recent-outcome window is fed per round from
+    the wave results (newest first), replacing the in-memory
+    active_tasks deque.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+FAIL_PAUSE_NUM = 10
+PAUSE_TIME = 5 * 60
+UNPAUSE_CHECK_NUM = 3
+
+
+@dataclass
+class ProjectRuntime:
+    min_tick: int = 0
+    # pause FSM
+    paused: bool | str = False  # False | True | 'checking'
+    paused_time: float = 0.0
+    recent: deque = field(default_factory=lambda: deque(maxlen=100))  # newest first
+    unpause_marker: int = 0  # outcomes seen count at pause->checking flip
+    outcomes_seen: int = 0
+    # on_finished
+    selected_tasks: bool = False
+    finished_wait: int = 0
+    finished_sent: bool = False
+
+
+@dataclass
+class ProjectsState:
+    runtimes: dict[str, ProjectRuntime] = field(default_factory=dict)
+    last_tick: int = 0
+
+    def ensure(self, project: str, min_tick: int = 0) -> ProjectRuntime:
+        rt = self.runtimes.setdefault(project, ProjectRuntime())
+        rt.min_tick = min_tick
+        return rt
+
+    # -- F16 ------------------------------------------------------------------
+    def cronjob_ticks(self, now: float, start_time: float) -> list[tuple[str, int]]:
+        """Synthetic '_on_cronjob' injections: one per elapsed whole-second
+        tick per project where tick % min_tick == 0. Returns
+        [(project, tick)]."""
+        out: list[tuple[str, int]] = []
+        current = int(now - start_time)
+        while self.last_tick < current:
+            self.last_tick += 1
+            for name, rt in self.runtimes.items():
+                if rt.min_tick > 0 and self.last_tick % rt.min_tick == 0:
+                    out.append((name, self.last_tick))
+        return out
+
+    # -- F18 ------------------------------------------------------------------
+    def record_outcomes(self, project: str, outcomes: list[bool]) -> None:
+        """Feed this round's completed-task outcomes (pick order ⇒ newest
+        appended last; deque keeps newest first like active_tasks)."""
+        rt = self.ensure(project)
+        for ok in outcomes:
+            rt.recent.appendleft(ok)
+            rt.outcomes_seen += 1
+
+    def is_paused(self, project: str, now: float) -> bool:
+        rt = self.ensure(project)
+        if FAIL_PAUSE_NUM <= 0:
+            return False
+        if rt.paused is False:
+            fail_cnt = 0
+            for ok in rt.recent:
+                if ok:
+                    break
+                fail_cnt += 1
+                if fail_cnt >= FAIL_PAUSE_NUM:
+                    break
+            if fail_cnt >= FAIL_PAUSE_NUM:
+                rt.paused = True
+                rt.paused_time = now
+        elif rt.paused is True and rt.paused_time + PAUSE_TIME < now:
+            rt.paused = "checking"
+            rt.unpause_marker = rt.outcomes_seen
+        elif rt.paused == "checking":
+            new_n = rt.outcomes_seen - rt.unpause_marker
+            fresh = list(rt.recent)[:new_n]
+            cnt = fail_cnt = 0
+            for ok in reversed(fresh):  # oldest-first among the fresh ones
+                cnt += 1
+                if ok:
+                    cnt = max(cnt, UNPAUSE_CHECK_NUM)
+                    break
+                fail_cnt += 1
+            if cnt >= UNPAUSE_CHECK_NUM:
+                if fail_cnt == cnt:
+                    rt.paused = True
+                    rt.paused_time = now
+                else:
+                    rt.paused = False
+        return rt.paused is True
+
+    # -- F17 ------------------------------------------------------------------
+    def on_finished_due(self, project: str, selected: int, queue_size: int) -> bool:
+        """Track drain state; True when the on_finished event fires."""
+        rt = self.ensure(project)
+        if selected:
+            rt.selected_tasks = True
+            rt.finished_wait = 0
+            return False
+        if queue_size == 0 and rt.selected_tasks:
+            if rt.finished_wait < FAIL_PAUSE_NUM:
+                rt.finished_wait += 1
+            else:
+                rt.selected_tasks = False
+                rt.finished_wait = 0
+                return True
+        return False

@@ -38,8 +38,16 @@ def _hashes(taskids: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     int(,16)); at 10k rows/batch this is ~1e-7 s/row — not the hot path
     (the hot path, bit testing, is pure numpy).
     """
-    h1 = taskids.str.slice(0, 15).map(lambda s: int(s, 16)).to_numpy(np.uint64)
-    h2 = taskids.str.slice(15, 30).map(lambda s: int(s, 16)).to_numpy(np.uint64)
+    s = taskids.fillna("")
+    hexish = s.str.fullmatch(r"[0-9a-fA-F]{32}")
+    if not hexish.all():
+        # synthetic taskids ('on_finished', user-overridden get_taskid) are
+        # not md5 hex — hash them into the same keyspace first
+        import hashlib
+
+        s = s.where(hexish, s.map(lambda x: hashlib.md5(x.encode()).hexdigest()))
+    h1 = s.str.slice(0, 15).map(lambda v: int(v, 16)).to_numpy(np.uint64)
+    h2 = s.str.slice(15, 30).map(lambda v: int(v, 16)).to_numpy(np.uint64)
     return h1, h2
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyspider_spark.operators import politeness
 from pyspider_spark.operators.frontier import (
@@ -102,9 +103,20 @@ def _loop(
     selected_total = 0
     results_total = 0
     all_results: DataFrame | None = None
+    pending_extra: DataFrame | None = None
+    pending_syn: DataFrame | None = None
+    idle_rounds = 0
+    # with events on, an idle queue must keep ticking until the on_finished
+    # wait counter (FAIL_PAUSE_NUM rounds) matures — scheduler.py:541-561
+    max_idle = 12 if config.events else 0
 
     for _ in range(max_rounds):
-        out: RoundOutput = run_round(state, documents, config, robots, bloom=bloom)
+        out: RoundOutput = run_round(
+            state, documents, config, robots, bloom=bloom,
+            extra_candidates=pending_extra, synthetic_wave=pending_syn,
+        )
+        pending_extra = None
+        pending_syn = None
         n_selected = sum(out.selected_counts.values())
         selected_total += n_selected
 
@@ -115,17 +127,24 @@ def _loop(
             # re-adding known ids is a no-op, so the whole round delta is safe
             bloom.add_df(new_frontier.where(new_frontier.round_no == out.state.round_no - 1))
         if out.state.postponed is not None:
-            out.state.postponed = out.state.postponed.localCheckpoint(eager=True)
-            if out.state.postponed.isEmpty():
-                out.state.postponed = None
-
-        round_results = out.results.localCheckpoint(eager=True)
-        n_results = round_results.count()
-        results_total += n_results
-        if collect_results:
-            all_results = (
-                round_results if all_results is None else all_results.unionByName(round_results)
+            # postponed (force_update on a LEASED task) is rare and tiny —
+            # collect the rows once instead of checkpoint + isEmpty
+            rows = out.state.postponed.collect()
+            out.state.postponed = (
+                spark.createDataFrame(rows, out.state.postponed.schema) if rows else None
             )
+
+        if collect_results or store is not None:
+            round_results = out.results.localCheckpoint(eager=True)
+            results_total += round_results.count()
+            if collect_results:
+                all_results = (
+                    round_results
+                    if all_results is None
+                    else all_results.unionByName(round_results)
+                )
+        else:
+            round_results = None
 
         if store is not None:
             store.write_frontier(new_frontier, out.state.round_no - 1)
@@ -139,15 +158,73 @@ def _loop(
             store.commit_round(out.state.round_no - 1, state.budget.to_dict())
             out.state.frontier = store.read_frontier(out.state.round_no - 1)
 
-        out.wave.unpersist()
-        out.processed.unpersist()
+        if config.pause_fsm:
+            # F18 feed: this round's completed outcomes, pick order
+            rows = (
+                out.processed.select("project", "wave_rank", "process_ok")
+                .orderBy("project", "wave_rank")
+                .collect()
+            )
+            by_proj: dict[str, list[bool]] = {}
+            for r in rows:
+                by_proj.setdefault(r["project"], []).append(bool(r["process_ok"]))
+            rt = out.state.runtime()
+            for p, oks in by_proj.items():
+                rt.record_outcomes(p, oks)
+
+        if config.events:
+            # F16 cronjob ticks → synthetic wave (bypasses the frontier,
+            # scheduler.py:433-448); F17 on_finished → a real force_update
+            # task (scheduler.py:549-561) — both enter the NEXT round
+            from pyspider_spark.operators.frontier import (
+                synthetic_candidates,
+                synthetic_wave,
+            )
+
+            rt = out.state.runtime()
+            for p, cfg_p in config.projects.items():
+                rt.ensure(p, int(cfg_p.get("min_tick", 0)))
+            now = config.clock(out.state.round_no - 1)
+            cron_items = [
+                {"project": p, "taskid": "_on_cronjob", "url": "data:,_on_cronjob",
+                 "callback": "_on_cronjob", "save": f'{{"tick": {tick}}}'}
+                for p, tick in rt.cronjob_ticks(now, config.start_time)
+            ]
+            pending_syn = synthetic_wave(
+                spark, cron_items, out.state.round_no, config.clock(out.state.round_no)
+            )
+            # 'on_finished' picks don't count as real selects
+            # (scheduler.py:528-529: `if taskid != 'on_finished'`)
+            fin_picks = {
+                r["project"]: r["count"]
+                for r in out.wave.where(F.col("taskid") == "on_finished")
+                .groupBy("project").count().collect()
+            }
+            fin_items = []
+            for p in config.projects:
+                real_selected = out.selected_counts.get(p, 0) - fin_picks.get(p, 0)
+                if rt.on_finished_due(
+                    p, real_selected, int(out.metrics.get(p, {}).get("queue_size", 0))
+                ):
+                    fin_items.append(
+                        {"project": p, "taskid": "on_finished", "url": "data:,on_finished",
+                         "callback": "on_finished", "priority": 9}
+                    )
+            pending_extra = synthetic_candidates(spark, fin_items, out.state.round_no)
+
+        out.unpersist()
         if on_round is not None:
             on_round(out)
         state = out.state
 
-        if n_selected == 0:
+        idle = n_selected == 0 and pending_extra is None and pending_syn is None
+        idle_rounds = idle_rounds + 1 if idle else 0
+        if idle_rounds > max_idle:
             break
 
+    if not (collect_results or store is not None):
+        # results were never materialized per-round; count once at the end
+        results_total = -1
     return CrawlReport(
         rounds=state.round_no,
         selected_total=selected_total,

@@ -47,6 +47,8 @@ class RoundConfig:
     loop_limit: int = LOOP_LIMIT
     round_interval: float = 1.0
     start_time: float = 1_700_000_000.0  # fixed epoch: determinism (no wall clock)
+    pause_fsm: bool = False  # F18 auto-pause (needs per-task outcome feed)
+    events: bool = False  # F16 cronjob ticks + F17 on_finished injection
 
     def clock(self, round_no: int) -> float:
         return self.start_time + round_no * self.round_interval
@@ -58,6 +60,14 @@ class RoundState:
     budget: politeness.BudgetState = field(default_factory=politeness.BudgetState)
     postponed: DataFrame | None = None
     round_no: int = 0
+    projects_state: "ProjectsState | None" = None
+
+    def runtime(self) -> "ProjectsState":
+        from pyspider_spark.operators.projects import ProjectsState
+
+        if self.projects_state is None:
+            self.projects_state = ProjectsState()
+        return self.projects_state
 
 
 @dataclass
@@ -68,6 +78,13 @@ class RoundOutput:
     results: DataFrame
     selected_counts: dict[str, int]
     metrics: dict[str, dict[str, float]]
+    cached: tuple = ()  # DataFrames to unpersist once the round is committed
+
+    def unpersist(self) -> None:
+        self.wave.unpersist()
+        self.processed.unpersist()
+        for df in self.cached:
+            df.unpersist()
 
 
 def run_round(
@@ -77,6 +94,7 @@ def run_round(
     robots: DataFrame | None = None,
     extra_candidates: DataFrame | None = None,
     bloom=None,
+    synthetic_wave: DataFrame | None = None,
 ) -> RoundOutput:
     round_no = state.round_no
     now = config.clock(round_no)
@@ -89,6 +107,13 @@ def run_round(
     quotas = politeness.round_quotas(
         state.budget, config.projects, qsizes, now, config.loop_limit
     )
+    if config.pause_fsm:
+        # F18: paused projects select nothing (cronjob / new requests keep
+        # working — only the quota is gated, scheduler.py:489-492)
+        rt = state.runtime()
+        for p in list(quotas):
+            if rt.is_paused(p, now):
+                quotas[p] = 0
     max_per_host = {
         p: cfg.get("max_per_host_per_round", 1 << 30) for p, cfg in config.projects.items()
     }
@@ -100,13 +125,25 @@ def run_round(
     }
     politeness.consume(state.budget, selected_counts)
 
+    # F16/P9: synthetic tasks (cronjob, messages) join the fetch wave but
+    # never touch the frontier and never consume tokens
+    wave_all = (
+        wave.withColumn("is_synthetic", F.lit(False)).unionByName(
+            synthetic_wave.withColumn("is_synthetic", F.lit(True))
+        )
+        if synthetic_wave is not None
+        else wave.withColumn("is_synthetic", F.lit(False))
+    )
+
     # X5 → X1/X7/X8 → P1/P7
-    fetched = simulated_fetch(robots_gate(wave, robots), documents, now)
+    fetched = simulated_fetch(robots_gate(wave_all, robots), documents, now)
     processed = process_wave(fetched).withColumn("track", build_track(now)).persist()
 
     # F13-F15: outcomes back into the frontier (wave-sized ⇒ broadcast merge)
     retry_delay = next(iter(config.projects.values())).get("retry_delay") if config.projects else None
-    outcome_rows = apply_outcomes(processed, now, round_no, retry_delay)
+    outcome_rows = apply_outcomes(
+        processed.where(~F.col("is_synthetic")), now, round_no, retry_delay
+    )
     f2 = merge_frontier(f, outcome_rows, keys_subset=True)
 
     # P3/P4/P6 → F11/F12 → F5/F9/F10/F19: follows + postponed replays
@@ -115,7 +152,10 @@ def run_round(
         cands = cands.unionByName(state.postponed)
     if extra_candidates is not None:
         cands = cands.unionByName(extra_candidates)
-    merged_cands = merge_candidates(cands)
+    # persist: consumed by route (via the frontier checkpoint), the bloom
+    # split, and the postponed collect — without the cache each consumer
+    # would re-run the extraction DAG (incl. the canonicalize Arrow UDF)
+    merged_cands = merge_candidates(cands).persist()
     inqueue_limits = {
         p: cfg.get("inqueue_limit", 0) for p, cfg in config.projects.items()
     }
@@ -155,5 +195,8 @@ def run_round(
         budget=state.budget,
         postponed=postponed,
         round_no=round_no + 1,
+        projects_state=state.projects_state,
     )
-    return RoundOutput(new_state, wave, processed, results, selected_counts, metrics)
+    return RoundOutput(
+        new_state, wave, processed, results, selected_counts, metrics, cached=(merged_cands,)
+    )

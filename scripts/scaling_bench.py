@@ -1,0 +1,100 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 between N and 4N).
+
+No real cluster in this sandbox, so the same crawl-to-exhaustion job runs
+at local[8] (N) and local[32] (4N) on the SAME input; throughput at both +
+efficiency = (T8/T32)/4 ... measured on the parallel-work portion.
+
+Writes BENCH/BASELINE.md. Run:  python scripts/scaling_bench.py [total]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspider_spark.plans.crawl import crawl
+from pyspider_spark.plans.round import RoundConfig
+from pyspider_spark.session import get_spark
+from pyspider_spark.synth import synth_documents, synth_robots, synth_seeds
+
+cores = {cores}
+total = {total}
+hosts = 16
+spark = get_spark("scaling-bench", cores=cores,
+                  extra_confs={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = synth_documents(spark, total=total, show=20, hosts=hosts).cache()
+docs.count()
+seeds = synth_seeds(spark, total=total, hosts=hosts, n_seeds=20)
+cfg = RoundConfig(projects={{"bench": {{"rate": 1e10, "burst": 1e10}}}}, loop_limit=3 * total)
+t0 = time.time()
+report = crawl(spark, seeds, docs, cfg, robots=synth_robots(spark, hosts=hosts),
+               max_rounds=60, collect_results=False)
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 2), "rounds": report.rounds,
+                   "selected": report.selected_total,
+                   "urls_per_sec": round(report.selected_total / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, total: int) -> dict:
+    code = RUNNER.format(repo=str(REPO), cores=cores, total=total)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    print(f"running crawl-to-exhaustion total={total} at local[8] and local[32]...")
+    r8 = run_at(8, total)
+    print("local[8]: ", r8)
+    r32 = run_at(32, total)
+    print("local[32]:", r32)
+    speedup = r8["sec"] / r32["sec"]
+    efficiency = speedup / 4.0
+    ts = time.strftime("%Y-%m-%d %H:%M:%S")
+
+    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+North-rule criterion: crawl-round throughput scaling efficiency >= 0.8
+between N and 4N parallelism. No real cluster exists in this sandbox; the
+evidence is the SAME crawl-to-exhaustion job (synthetic interleaved corpus,
+total={total} pages, show=20 links/page, 16 hosts incl. one hot host, 20
+seeds, unthrottled politeness) run at local[8] (=N) and local[32] (=4N).
+
+Measured {ts} (single machine, one JVM; per-round driver/job-scheduling
+latency is a FIXED cost that does not parallelize, so wall-clock efficiency
+understates the data-parallel scaling a real 4N-executor cluster would see):
+
+| parallelism | wall sec | rounds | URLs selected | URLs/sec |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8["sec"]} | {r8["rounds"]} | {r8["selected"]} | {r8["urls_per_sec"]} |
+| local[32] (4N) | {r32["sec"]} | {r32["rounds"]} | {r32["selected"]} | {r32["urls_per_sec"]} |
+
+- speedup (T_N / T_4N): **{speedup:.2f}x**
+- wall-clock scaling efficiency (speedup / 4): **{efficiency:.3f}**
+
+Throughput-based: {r8["urls_per_sec"]} -> {r32["urls_per_sec"]} URLs/sec.
+
+Reproduce: `python scripts/scaling_bench.py {total}`
+Raw: `{json.dumps(r8)}` / `{json.dumps(r32)}`
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
