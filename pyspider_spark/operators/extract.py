@@ -33,6 +33,8 @@ def extract_links(fetched_wave: DataFrame, round_no: int) -> DataFrame:
     FIFO-faithful (parents pop in wave_rank order, links in span order).
     """
     pages = fetched_wave.where(F.col("fetch_ok") & F.col("content_spans").isNotNull())
+    if "not_modified" in fetched_wave.columns:
+        pages = pages.where(~F.col("not_modified"))  # X4: 304 skips callback
     links = pages.select(
         F.col("project"),
         F.col("url").alias("base_url"),
@@ -103,8 +105,13 @@ def process_wave(fetched_wave: DataFrame) -> DataFrame:
         )
     )
     ok = F.col("fetch_ok")
+    ran = (
+        ok & ~F.col("not_modified")
+        if "not_modified" in fetched_wave.columns
+        else ok  # X4: 304 finishes ok but skips callback output
+    )
     return (
         fetched_wave.withColumn("process_ok", ok)
-        .withColumn("n_follows", F.when(ok, F.greatest(n_links, F.lit(0))).otherwise(F.lit(0)))
-        .withColumn("result", F.when(ok, result))
+        .withColumn("n_follows", F.when(ran, F.greatest(n_links, F.lit(0))).otherwise(F.lit(0)))
+        .withColumn("result", F.when(ran, result))
     )

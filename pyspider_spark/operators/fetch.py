@@ -64,7 +64,9 @@ def robots_gate(wave: DataFrame, robots: DataFrame | None) -> DataFrame:
     ).drop("_best")
 
 
-def simulated_fetch(wave: DataFrame, documents: DataFrame, now: float) -> DataFrame:
+def simulated_fetch(
+    wave: DataFrame, documents: DataFrame, now: float, url_col: str = "url"
+) -> DataFrame:
     """X1/X7/X8: join wave → documents on canonical URL.
 
     Output adds: status_code, content_spans (the page's interleaved spans),
@@ -75,10 +77,17 @@ def simulated_fetch(wave: DataFrame, documents: DataFrame, now: float) -> DataFr
     AQE skew-split — the wave side is already quota-bounded per host.
     """
     docs = documents.select(
-        F.col("doc_id").alias("url"), F.col("spans").alias("_doc_spans")
+        F.col("doc_id").alias(url_col), F.col("spans").alias("_doc_spans")
     )
     is_data_uri = F.col("url").startswith("data:")
-    joined = wave.join(docs, "url", "left")
+    joined = wave.join(docs, url_col, "left")
+    if "redirect_url" not in wave.columns:
+        joined = joined.withColumn("redirect_url", F.lit(None).cast("string"))
+    exhausted = (
+        F.col("redirect_exhausted")
+        if "redirect_exhausted" in wave.columns
+        else F.lit(False)
+    )
 
     data_payload = F.regexp_replace(F.col("url"), r"^data:[^,]*,", "")
     data_spans = F.array(
@@ -94,17 +103,19 @@ def simulated_fetch(wave: DataFrame, documents: DataFrame, now: float) -> DataFr
     found = F.col("_doc_spans").isNotNull()
     status_code = (
         F.when(denied, F.lit(403))
+        .when(exhausted, F.lit(599))  # X2: too many redirects
         .when(is_data_uri, F.lit(200))
         .when(found, F.lit(200))
         .otherwise(F.lit(404))
     )
     content = (
         F.when(is_data_uri, data_spans)
-        .when(denied, F.lit(None))
+        .when(denied | exhausted, F.lit(None))
         .otherwise(F.col("_doc_spans"))
     )
     error = (
         F.when(denied, F.lit("robots.txt denied"))
+        .when(exhausted, F.lit("599 too many redirects"))
         .when(~is_data_uri & ~found, F.lit("HTTP 404: not found"))
         .otherwise(F.lit(None).cast("string"))
     )
@@ -118,6 +129,75 @@ def simulated_fetch(wave: DataFrame, documents: DataFrame, now: float) -> DataFr
     )
 
 
+def resolve_redirects(
+    wave: DataFrame, redirects: DataFrame | None, max_redirects: int = 5
+) -> DataFrame:
+    """X2: bounded redirect following — tornado_fetcher.py:352-406 follows
+    Location manually with a hop budget (default 5), erroring with 599 when
+    exhausted.
+
+    ``redirects``: (from_url, to_url) map (in real mode this comes from the
+    fetch layer; simulated mode joins it like a vhost table). Re-expressed
+    as ``max_redirects`` successive broadcast left-joins — a bounded
+    iterative self-join, no loop-carried DataFrame growth. Adds:
+    ``resolved_url`` (final), ``redirect_url`` (first hop, for track),
+    ``redirect_exhausted`` (boolean ⇒ fetch error 599).
+    """
+    if redirects is None:
+        return (
+            wave.withColumn("resolved_url", F.col("url"))
+            .withColumn("redirect_url", F.lit(None).cast("string"))
+            .withColumn("redirect_exhausted", F.lit(False))
+        )
+    rmap = F.broadcast(
+        redirects.select(F.col("from_url").alias("_ru"), F.col("to_url").alias("_rt"))
+    )
+    out = (
+        wave.withColumn("resolved_url", F.col("url"))
+        .withColumn("redirect_url", F.lit(None).cast("string"))
+    )
+    for hop in range(max_redirects):
+        out = (
+            out.join(rmap, out["resolved_url"] == rmap["_ru"], "left")
+            .withColumn(
+                "redirect_url",
+                F.when(F.col("redirect_url").isNull() & F.col("_rt").isNotNull(), F.col("_rt"))
+                .otherwise(F.col("redirect_url")),
+            )
+            .withColumn("resolved_url", F.coalesce(F.col("_rt"), F.col("resolved_url")))
+            .drop("_ru", "_rt")
+        )
+    # budget exhausted = still one more hop available after max hops
+    out = out.join(rmap, out["resolved_url"] == rmap["_ru"], "left").withColumn(
+        "redirect_exhausted", F.col("_rt").isNotNull()
+    ).drop("_ru", "_rt")
+    return out
+
+
+def conditional_gate(fetched: DataFrame) -> DataFrame:
+    """X4: conditional GET / 304 short-circuit — tornado_fetcher.py:259-277
+    replays etag/if-modified-since when the last process succeeded; a 304
+    skips the callback (no follows, no result) but the task still finishes
+    ok (base_handler.py:171-173).
+
+    Simulated corpus content never changes, so the emulation is exact: a
+    task whose previous track shows a successful 200 fetch and whose fetch
+    succeeded again is 'not modified'. Adds ``not_modified``; process_wave
+    suppresses follows/result for those rows.
+    """
+    prior_ok = (
+        F.col("track").isNotNull()
+        & F.coalesce(F.col("track").fetch.ok, F.lit(False))
+        & F.col("track").fetch.status_code.eqNullSafe(F.lit(200))
+    )
+    return fetched.withColumn(
+        "not_modified",
+        prior_ok & F.col("fetch_ok") & ~F.col("url").startswith("data:"),
+    ).withColumn(
+        "status_code", F.when(F.col("not_modified"), F.lit(304)).otherwise(F.col("status_code"))
+    )
+
+
 def build_track(now: float) -> F.Column:
     """P7: the track struct recorded on the finished task
     (processor/processor.py:125-169 shape, trimmed to analytic fields)."""
@@ -128,7 +208,7 @@ def build_track(now: float) -> F.Column:
             F.col("status_code").alias("status_code"),
             F.lit("utf-8").alias("encoding"),
             F.col("fetch_error").alias("error"),
-            F.lit(None).cast("string").alias("redirect_url"),
+            F.col("redirect_url").alias("redirect_url"),
         ).alias("fetch"),
         F.struct(
             F.col("process_ok").alias("ok"),

@@ -453,6 +453,26 @@ def make_seq_py(round_no: int, wave_rank: int, channel: int) -> int:
     return ((round_no + 1) << SEQ_ROUND_SHIFT) + (wave_rank << SEQ_RANK_SHIFT) + channel
 
 
+def send_message(spark, from_project: str, to_project: str, message: str,
+                 round_no: int, now: float) -> DataFrame:
+    """P9: inter-project message — a synthetic '_on_message' task in the
+    target project carrying the payload in fetch.save
+    (base_handler.py:404-410, processor.py:177-193). Returns a synthetic
+    wave to pass into the next round (bypasses the frontier like cronjobs)."""
+    return synthetic_wave(
+        spark,
+        [{
+            "project": to_project,
+            "taskid": "_on_message",
+            "url": "data:,on_message",
+            "callback": "_on_message",
+            "save": message,
+        }],
+        round_no,
+        now,
+    )
+
+
 # synthetic-wave ranks sit above any selectable quota so follow seqs never
 # collide with real wave ranks (quota <= loop_limit << SYNTH_RANK_BASE)
 SYNTH_RANK_BASE = 1 << 18

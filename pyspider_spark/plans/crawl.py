@@ -60,6 +60,7 @@ def crawl(
     on_round=None,
     use_bloom: bool = False,
     bloom_expected: int = 1 << 20,
+    redirects: DataFrame | None = None,
 ) -> CrawlReport:
     state = bootstrap(spark, seeds, config)
     bloom = None
@@ -70,7 +71,7 @@ def crawl(
         bloom.add_df(state.frontier)
     return _loop(
         spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
-        bloom=bloom,
+        bloom=bloom, redirects=redirects,
     )
 
 
@@ -98,7 +99,7 @@ def resume(
 
 def _loop(
     spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
-    bloom=None,
+    bloom=None, redirects=None,
 ) -> CrawlReport:
     selected_total = 0
     results_total = 0
@@ -114,6 +115,7 @@ def _loop(
         out: RoundOutput = run_round(
             state, documents, config, robots, bloom=bloom,
             extra_candidates=pending_extra, synthetic_wave=pending_syn,
+            redirects=redirects,
         )
         pending_extra = None
         pending_syn = None

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from pyspider_spark.operators import politeness
 from pyspider_spark.operators.extract import extract_links, process_wave
-from pyspider_spark.operators.fetch import build_track, robots_gate, simulated_fetch
+from pyspider_spark.operators.fetch import (
+    build_track,
+    conditional_gate,
+    resolve_redirects,
+    robots_gate,
+    simulated_fetch,
+)
 from pyspider_spark.operators.frontier import (
     apply_outcomes,
     merge_candidates,
@@ -49,6 +55,8 @@ class RoundConfig:
     start_time: float = 1_700_000_000.0  # fixed epoch: determinism (no wall clock)
     pause_fsm: bool = False  # F18 auto-pause (needs per-task outcome feed)
     events: bool = False  # F16 cronjob ticks + F17 on_finished injection
+    conditional_get: bool = False  # X4: 304 short-circuit on unchanged recrawls
+    max_redirects: int = 5  # X2 hop budget
 
     def clock(self, round_no: int) -> float:
         return self.start_time + round_no * self.round_interval
@@ -95,6 +103,7 @@ def run_round(
     extra_candidates: DataFrame | None = None,
     bloom=None,
     synthetic_wave: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> RoundOutput:
     round_no = state.round_no
     now = config.clock(round_no)
@@ -135,8 +144,15 @@ def run_round(
         else wave.withColumn("is_synthetic", F.lit(False))
     )
 
-    # X5 → X1/X7/X8 → P1/P7
-    fetched = simulated_fetch(robots_gate(wave_all, robots), documents, now)
+    # X5 → X2 → X1/X7/X8 → X4 → P1/P7
+    gated = robots_gate(wave_all, robots)
+    if redirects is not None:
+        gated = resolve_redirects(gated, redirects, config.max_redirects)
+        fetched = simulated_fetch(gated, documents, now, url_col="resolved_url")
+    else:
+        fetched = simulated_fetch(gated, documents, now)
+    if config.conditional_get:
+        fetched = conditional_gate(fetched)
     processed = process_wave(fetched).withColumn("track", build_track(now)).persist()
 
     # F13-F15: outcomes back into the frontier (wave-sized ⇒ broadcast merge)

@@ -18,7 +18,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 RUNNER = r"""
-import json, sys, time
+import json, os, sys, time
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 sys.path.insert(0, {repo!r})
 from pyspider_spark.plans.crawl import crawl
 from pyspider_spark.plans.round import RoundConfig
@@ -28,12 +29,13 @@ from pyspider_spark.synth import synth_documents, synth_robots, synth_seeds
 cores = {cores}
 total = {total}
 hosts = 16
-spark = get_spark("scaling-bench", cores=cores,
+# identical partitioning for both runs: only the core count differs
+spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=64,
                   extra_confs={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-docs = synth_documents(spark, total=total, show=20, hosts=hosts).cache()
+docs = synth_documents(spark, total=total, show=40, hosts=hosts, partitions=64).cache()
 docs.count()
-seeds = synth_seeds(spark, total=total, hosts=hosts, n_seeds=20)
+seeds = synth_seeds(spark, total=total, hosts=hosts, n_seeds=50)
 cfg = RoundConfig(projects={{"bench": {{"rate": 1e10, "burst": 1e10}}}}, loop_limit=3 * total)
 t0 = time.time()
 report = crawl(spark, seeds, docs, cfg, robots=synth_robots(spark, hosts=hosts),

@@ -17,9 +17,9 @@ NOW = 1_700_000_000.0
 
 
 def cand_row(taskid, url, priority=0, exetime=0.0, seq=1, age=-1, itag=None,
-             force_update=False, auto_recrawl=False, cancel=False):
+             force_update=False, auto_recrawl=False, cancel=False, project="p"):
     return (
-        "p", taskid, url, "h.test",
+        project, taskid, url, "h.test",
         (priority, 3, 0, exetime, age, itag, force_update, auto_recrawl, cancel),
         ("GET", None, None, 120, None, True),
         ("index_page",),

@@ -49,8 +49,44 @@ def test_batch_matches_scalar():
         "http://a.test",
         "http://a.test/中文",
         None,
+        "HTTP://a.test?q=1",            # D + uppercase scheme
+        "http://a.test#frag",           # D + fragment
+        "http://A.TEST/x",              # uppercase host preserved
+        "http://u:p@h.test:8080/x",     # userinfo+port
+        "//proto.test/rel",             # protocol-relative -> fallback
+        "?q=override",                  # query-relative -> fallback
+        "sub/path",                     # path-relative -> fallback
+        "/",                            # bare root
+        "http://a.test/x;params?q#f",   # params segment
+        "http://a.test//double//slash",
+        "ftp://a.test/f",               # other scheme
+        "",                             # empty
+        "/rel with space",
     ]
-    bases = ["http://base.test/dir/page"] * len(hrefs)
+    bases = ["http://Base.TEST/dir/page?x=1"] * len(hrefs)
     got = _canonicalize_batch(pd.Series(hrefs), pd.Series(bases))
     want = [canonicalize_url(h, b) if h is not None else None for h, b in zip(hrefs, bases)]
     assert list(got) == want
+
+
+def test_batch_matches_scalar_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+    host = st.sampled_from(["a.test", "B.Example.COM", "x-y.test:8080", "名.test"])
+    path = st.sampled_from(["", "/", "/p", "/p/q?r=1", "?q=1", "#f", "/中文", "/p q"])
+    absolute = st.builds(lambda s, h, p: f"{s}://{h}{p}", scheme, host, path)
+    relative = st.sampled_from(["/r", "/r?x=1", "r/s", "../up", "?q", "#f", "//other.test/p"])
+    href = st.one_of(absolute, relative).map(lambda u: " " + u + " ")
+    base = st.builds(lambda s, h, p: f"{s}://{h}{p}", scheme, host, path)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(href, base), min_size=1, max_size=30))
+    def check(pairs):
+        hs = pd.Series([h for h, _ in pairs])
+        bs = pd.Series([b for _, b in pairs])
+        got = list(_canonicalize_batch(hs, bs))
+        want = [canonicalize_url(h, b) for h, b in pairs]
+        assert got == want
+
+    check()
