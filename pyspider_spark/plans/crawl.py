@@ -122,6 +122,10 @@ def _loop(
         n_selected = sum(out.selected_counts.values())
         selected_total += n_selected
 
+        # localCheckpoint each round: the round DAG references the previous
+        # frontier several times (merge lhs, route old-side), so an
+        # un-truncated plan tree grows ~3^k — batching checkpoints was tried
+        # and overflows plan analysis; per-round truncation is structural
         new_frontier = out.state.frontier.localCheckpoint(eager=True)
         out.state.frontier = new_frontier
         if bloom is not None:
