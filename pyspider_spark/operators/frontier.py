@@ -114,13 +114,17 @@ def route_candidates(
     frontier: DataFrame, cands: DataFrame, now: float, round_no: int,
     inqueue_limits: dict[str, int] | None = None,
     queued_counts: dict[str, int] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    split: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """F5/F9/F10/F19: route merged candidates against the frontier.
 
-    Returns (upserts, postponed): ``upserts`` are full frontier rows to
-    MERGE (insert or overwrite by (project, taskid)); ``postponed`` are
-    candidate rows to replay next round (force_update on a LEASED task —
-    scheduler.py:846-851).
+    Returns (upserts, postponed) — or, with ``split=True``,
+    (updates, inserts, postponed) where ``updates`` keys are guaranteed to
+    exist in the frontier (⇒ broadcast left-merge) and ``inserts`` are
+    guaranteed new (⇒ plain union, no join at all): together they remove
+    the frontier-wide full-outer shuffle from the round entirely.
+    ``postponed`` are candidate rows to replay next round (force_update on
+    a LEASED task — scheduler.py:846-851).
 
     The join is a left join of candidates against the frontier keyed by
     (project, taskid) — at scale both sides are bucketed by the same key so
@@ -222,8 +226,15 @@ def route_candidates(
         F.lit(round_no).cast("int").alias("round_no"),
         F.col("old_lastcrawltime").alias("lastcrawltime"),
         F.lit(now).alias("updatetime"),
+        is_new.alias("_is_insert"),
     )
-    return upserts, postponed
+    if split:
+        return (
+            upserts.where(~F.col("_is_insert")).drop("_is_insert"),
+            upserts.where(F.col("_is_insert")).drop("_is_insert"),
+            postponed,
+        )
+    return upserts.drop("_is_insert"), postponed
 
 
 def select_wave(

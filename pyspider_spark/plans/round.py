@@ -180,21 +180,25 @@ def run_round(
         # inserts, no frontier join; positives take the exact route join
         # (which also resolves restart rules). Sound: no false negatives.
         definitely_new, maybe_seen = bloom.split_candidates(merged_cands)
-        inserts, _ = route_candidates(
+        bloom_inserts, _ = route_candidates(
             f2.limit(0), definitely_new, now, round_no,
             inqueue_limits=inqueue_limits, queued_counts=qsizes,
         )
-        routed, postponed = route_candidates(
+        updates, inserts, postponed = route_candidates(
             f2, maybe_seen, now, round_no,
-            inqueue_limits=inqueue_limits, queued_counts=qsizes,
+            inqueue_limits=inqueue_limits, queued_counts=qsizes, split=True,
         )
-        upserts = routed.unionByName(inserts)
+        inserts = inserts.unionByName(bloom_inserts)
     else:
-        upserts, postponed = route_candidates(
+        updates, inserts, postponed = route_candidates(
             f2, merged_cands, now, round_no,
-            inqueue_limits=inqueue_limits, queued_counts=qsizes,
+            inqueue_limits=inqueue_limits, queued_counts=qsizes, split=True,
         )
-    new_frontier = merge_frontier(f2, upserts)
+    # no frontier-wide shuffle anywhere in the round: `updates` keys all
+    # exist (wave-scale ⇒ broadcast left-merge), `inserts` are guaranteed
+    # new (plain union) — the Iceberg analogue is MERGE matched-only +
+    # append, touching only affected partitions
+    new_frontier = merge_frontier(f2, updates, keys_subset=True).unionByName(inserts)
 
     results = results_from_wave(processed, now)
     metrics = {
