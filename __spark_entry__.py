@@ -496,9 +496,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": r"""
             SELECT lang, COUNT(*) AS docs,
-                   SUM(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+')) END) AS tokens,
-                   SUM(n_chars) AS chars
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY lang
         """,
         "text_quality": r"""

@@ -90,8 +90,12 @@ def bench_crawl(spark, total: int) -> dict:
         "urls_seen": seen,
         "corpus_docs": n_docs,
         "urls_per_sec": round(report.selected_total / dt, 1),
-        "dedup_rate": round(1.0 - seen / max(report.selected_total, 1), 4)
+        # refetch_rate: fraction of selects that were re-fetches of an
+        # already-seen URL (0.0 = every URL fetched exactly once);
+        # convergence: fraction of the reachable corpus discovered
+        "refetch_rate": round(1.0 - seen / max(report.selected_total, 1), 4)
         if report.selected_total > seen else 0.0,
+        "convergence": round(seen / max(n_docs, 1), 4),
     }
 
 

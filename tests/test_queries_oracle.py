@@ -27,13 +27,22 @@ def duck():
 
 
 def normalize(pdf: pd.DataFrame) -> list[tuple]:
+    """Type-strict like the driver's value hash: an int64 3549 and a
+    float64 3549.0 must NOT compare equal (DuckDB HUGEINT sums come back
+    as float64 — the query/oracle must cast, not the harness)."""
+    import numpy as np
+
     cols = sorted(pdf.columns)
     out = []
     for row in pdf[cols].itertuples(index=False):
         vals = []
         for v in row:
-            if isinstance(v, float):
-                vals.append(f"{v:.6g}")
+            if isinstance(v, (bool, np.bool_)):
+                vals.append(f"b:{v}")
+            elif isinstance(v, (float, np.floating)):
+                vals.append(f"f:{v:.6g}")
+            elif isinstance(v, (int, np.integer)):
+                vals.append(f"i:{v}")
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
