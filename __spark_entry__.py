@@ -287,7 +287,8 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
-    """MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures)."""
+    """MinHash+LSH near-dup pairs (portable md5-slice signatures; DuckDB
+    oracle mirrors the full pipeline via oracles.minhash_pairs_sql)."""
     from pyspider_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(
@@ -296,14 +297,15 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash signatures + near pairs (rows-only)."""
+    """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
+    (7 chunks x 8 bits over the 56-bit signature)."""
     from pyspider_spark.operators.dedup import simhash, simhash_near_pairs
 
     return simhash_near_pairs(simhash(_t(spark, sf, "documents")), max_hamming=6)
 
 
 def q_ngram_jaccard(spark, sf):
-    """n-gram Jaccard verify on LSH candidates (rows-only)."""
+    """n-gram Jaccard verify on LSH candidates (oracled end-to-end)."""
     from pyspider_spark.operators.dedup import (
         jaccard_verify,
         lsh_candidate_pairs,
@@ -404,8 +406,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyspider_spark import oracles
+
     qv = "[" + ", ".join(f"{x!r}" for x in _QUERY_VEC) + "]"
     return {
+        "dedup_minhash": oracles.minhash_pairs_sql(
+            k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
+        ),
+        "ngram_jaccard": oracles.minhash_pairs_sql(
+            k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
+        ),
+        "dedup_simhash": oracles.simhash_pairs_sql(max_hamming=6),
         "f1_rank_select": """
             SELECT o_orderpriority, pick_rank, o_orderkey, o_orderdate FROM (
                 SELECT o_orderpriority, o_orderkey, o_orderdate,

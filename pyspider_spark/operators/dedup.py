@@ -8,14 +8,21 @@ shuffles are the per-doc groupBys and the bucket self-join — at 100 TB the
 bucket join is the classic LSH candidate-pair plan: band hash distributes
 uniformly, and a hot bucket (boilerplate text) is bounded by
 ``max_bucket_size`` before the join (standard guard, else one giant
-bucket quadratically explodes).
+bucket quadratically explodes). Bucket counts use groupBy+join (a partial
+agg + broadcast-able join), NOT a window — a window would sort every
+bucket partition for a count.
+
+Hashing is the engine-portable md5-slice (functions/portable_hash.py), so
+every pipeline here is mirrorable 1:1 in DuckDB SQL for the correctness
+gate (pyspider_spark/oracles.py generates the mirrors).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspider_spark.functions.portable_hash import HASH_BITS, md5_hash56
 from pyspider_spark.functions.text import fingerprint
 
 
@@ -47,36 +54,46 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
 def minhash_signatures(
     shingled: DataFrame, n_hashes: int = 32
 ) -> DataFrame:
-    """MinHash: sig[i] = min over shingles of xxhash64(i || shingle).
+    """MinHash: sig[i] = min over shingles of md5_hash56('mh{i}:' || shingle).
     ONE explode already done upstream; here a single groupBy computes all
     n partial-agg mins map-side (no UDF, no extra shuffle per hash)."""
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(md5_hash56(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return shingled.groupBy("doc").agg(*mins)
+
+
+def _guard_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
+    """Hot-bucket guard: drop buckets larger than ``max_size`` before a
+    self-join (one partial-agg groupBy + an inner join on the bucket key —
+    no window sort; the counts side is tiny and broadcast-able)."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_bucket_n"))
+    return (
+        df.join(counts.where(F.col("_bucket_n") <= max_size), keys, "inner")
+        .drop("_bucket_n")
+    )
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, rows: int = 4, max_bucket_size: int = 1000
 ) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band hash.
+    Band hash = md5_hash56 of the '|'-joined row hashes (portable).
     Emits distinct (doc_a, doc_b) with doc_a < doc_b."""
-    n_hashes = bands * rows
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("bh"),
+            md5_hash56(
+                F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            ).alias("bh"),
         )
         for b in range(bands)
     ]
     banded = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc", F.col("bb").band.alias("band"), F.col("bb").bh.alias("bh")
     )
-    # hot-bucket guard: drop degenerate buckets before the self-join
-    sized = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
-    ).where(F.col("bucket_n") <= max_bucket_size)
+    sized = _guard_buckets(banded, ["band", "bh"], max_bucket_size)
     a = sized.select("band", "bh", F.col("doc").alias("doc_a"))
     b = sized.select("band", "bh", F.col("doc").alias("doc_b"))
     return (
@@ -116,24 +133,29 @@ def jaccard_verify(
 def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, n_hashes: int = 32, bands: int = 8, rows: int = 4,
-    threshold: float = 0.7,
+    threshold: float = 0.7, max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
     exact-Jaccard verify. Returns (doc_a, doc_b, jaccard)."""
     sh = shingles(df, text_col, id_col, k).persist()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), bands, rows)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), bands, rows, max_bucket_size)
     return jaccard_verify(pairs, sh, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = HASH_BITS) -> DataFrame:
     """SimHash: token hashes vote per bit; sign of the sum sets the bit.
-    One explode + one groupBy with `bits` conditional sums (JVM)."""
+    One explode + one groupBy with `bits` conditional sums (JVM).
+    Default 56 bits = the portable md5-slice hash width (a full signed-64
+    signature would need a second md5 slice for marginal extra precision).
+    """
+    if bits > HASH_BITS:
+        raise ValueError(f"bits must be <= {HASH_BITS} (md5-slice hash width)")
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    h = md5_hash56(F.col("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -153,26 +175,53 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return agg.select("doc", sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance: block on 4 16-bit chunks (any
-    pair within distance 3 shares at least one exact chunk — pigeonhole),
-    verify with bit_count inside blocks."""
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
+def simhash_chunk_plan(max_hamming: int, bits: int = HASH_BITS) -> tuple[int, int]:
+    """(n_chunks, chunk_bits) for pigeonhole blocking: a pair within
+    Hamming distance d shares at least one exact chunk iff n_chunks > d,
+    so n_chunks = max_hamming + 1. Requires bits % n_chunks == 0 so the
+    chunk extraction is a uniform shift/mask in both engines."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks != 0:
+        # round chunk count UP to the next divisor of bits: more chunks
+        # than the pigeonhole minimum is still sound (smaller chunks,
+        # more candidate pairs, same guarantee)
+        divisors = [d for d in range(n_chunks, bits + 1) if bits % d == 0]
+        n_chunks = divisors[0]
+    return n_chunks, bits // n_chunks
+
+
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, bits: int = HASH_BITS,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, pigeonhole-blocked SOUNDLY for
+    the requested ``max_hamming``: the signature splits into
+    ``max_hamming + 1`` chunks (any pair within that distance shares at
+    least one exact chunk), self-join per chunk, verify with bit_count.
+    A popular chunk value (boilerplate / near-constant signatures) is
+    dropped by ``max_block_size`` before the join — same guard as the
+    MinHash LSH buckets (a 30%%-hot block would otherwise go O(n²))."""
+    n_chunks, chunk_bits = simhash_chunk_plan(max_hamming, bits)
+    mask = (1 << chunk_bits) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("ck"),
+            F.shiftrightunsigned(F.col("simhash"), chunk_bits * c)
+            .bitwiseAND(F.lit(mask)).alias("blk"),
+        )
+        for c in range(n_chunks)
     ]
-    blocked = sig.select("doc", "simhash", *chunks)
-    out = None
-    for c in range(4):
-        a = blocked.select(F.col(f"c{c}").alias("blk"), F.col("doc").alias("doc_a"),
-                           F.col("simhash").alias("sig_a"))
-        b = blocked.select(F.col(f"c{c}").alias("blk"), F.col("doc").alias("doc_b"),
-                           F.col("simhash").alias("sig_b"))
-        pairs = a.join(b, "blk").where(F.col("doc_a") < F.col("doc_b"))
-        out = pairs if out is None else out.unionByName(pairs)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    blocked = sig.select(
+        "doc", "simhash", F.explode(F.array(*chunk_cols)).alias("cb")
+    ).select("doc", "simhash", F.col("cb").ck.alias("ck"), F.col("cb").blk.alias("blk"))
+    guarded = _guard_buckets(blocked, ["ck", "blk"], max_block_size)
+    a = guarded.select("ck", "blk", F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = guarded.select("ck", "blk", F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
-        out.withColumn("hamming", ham)
+        a.join(b, ["ck", "blk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
