@@ -328,18 +328,37 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed ANN (rows-only; recall vs brute force is pytest-checked)."""
+    """Multi-probe LSH ANN (oracled: DuckDB mirrors the signature planes
+    and hamming-ball probes; recall >= 0.9 vs brute force pytest-checked)."""
     from pyspider_spark.functions.similarity import ann_topk_lsh
 
     top = ann_topk_lsh(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+# near-dup planting: one perturbed copy (v[0] += 0.5, id += 1e6) per
+# PLANT_EVERY-th vector, so the near-dup query has guaranteed positives
+# (the round-1 driver row was vacuous: 0 pairs cleared the threshold)
+PLANT_EVERY = 25
+
+
 def q_embedding_near_dup(spark, sf):
-    """Embedding-cosine near-dup pairs (rows-only)."""
+    """Embedding-cosine near-dup pairs over banded hyperplane buckets
+    (oracled end-to-end, planted positives)."""
     from pyspider_spark.functions.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.8)
+    base = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    planted = base.where(F.col("vec_id") % PLANT_EVERY == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.5)),
+            F.slice(v, 2, F.size(v) - 1),
+        ).alias("embedding"),
+    )
+    aug = base.select("vec_id", v.alias("embedding")).unionByName(planted)
+    pairs = embedding_near_dup_pairs(aug, dims=64, threshold=0.8)
+    return pairs.select("doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 def q_multimodal_features(spark, sf):
@@ -417,6 +436,10 @@ def oracle_sql() -> dict[str, str]:
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),
         "dedup_simhash": oracles.simhash_pairs_sql(max_hamming=6),
+        "ann_lsh_topk": oracles.ann_lsh_topk_sql(_QUERY_VEC, k=10),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(
+            dims=64, threshold=0.8, plant_every=PLANT_EVERY
+        ),
         "f1_rank_select": """
             SELECT o_orderpriority, pick_rank, o_orderkey, o_orderdate FROM (
                 SELECT o_orderpriority, o_orderkey, o_orderdate,

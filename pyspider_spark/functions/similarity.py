@@ -2,11 +2,24 @@
 brute-force cosine top-k baseline + LSH-bucketed ANN scale path.
 
 Dot products run JVM-side via F.zip_with + F.aggregate (no Python). The
-ANN path uses deterministic random-hyperplane signatures: plane vectors are
-seeded numpy, shipped as array literals (dims × n_planes doubles — tiny),
-so the signature is again a pure expression. Brute force stays the
-correctness oracle; the LSH path is the 100 TB plan (bucket join instead
-of full cross product).
+ANN path uses deterministic random-hyperplane signatures: plane vectors
+are seeded numpy, shipped as array literals (dims × n_planes doubles —
+tiny), so the signature is again a pure expression.
+
+100 TB posture:
+  - ``build_ann_index`` computes ALL hash-table signatures in ONE pass
+    and is meant to be materialized once (parquet, partitioned/sorted by
+    a signature column) — queries then probe ``sig_t IN <hamming ball>``,
+    which pushes down to the scan (PushedFilters; partition-pruned when
+    the index is partitioned by signature) instead of recomputing
+    n_tables × n_planes dot products per row per query.
+  - ``embedding_near_dup_pairs`` bands the planes (multi-band OR like
+    MinHash LSH) so a near-dup that flips one plane bit is still caught
+    by another band — the round-1 full-signature bucket had ~4% recall at
+    cosine 0.8 — and hot buckets are size-guarded before the self-join.
+
+Brute force stays the correctness oracle; everything here is mirrored in
+DuckDB SQL by pyspider_spark.oracles for the driver gate.
 """
 
 from __future__ import annotations
@@ -54,6 +67,11 @@ def _planes(dims: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.randn(n_planes, dims)
 
 
+def table_planes(dims: int, n_planes: int, n_tables: int, seed: int) -> list[np.ndarray]:
+    """One independent plane set per hash table (seed + 1000*t)."""
+    return [_planes(dims, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+
 def rh_signature(vec: Column, planes: np.ndarray) -> Column:
     """Random-hyperplane bit signature as a long (n_planes <= 63)."""
     bits = []
@@ -66,61 +84,113 @@ def rh_signature(vec: Column, planes: np.ndarray) -> Column:
     return sum(bits[1:], bits[0])
 
 
+def query_signature(query: list[float], planes: np.ndarray) -> int:
+    qv = np.array(query, dtype=float)
+    return int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0))
+
+
+def hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
+    """All signatures within ``radius`` bit flips of ``sig`` (multi-probe
+    list; size = sum_{j<=radius} C(n_bits, j) — tiny for the radii used)."""
+    from itertools import combinations
+
+    out = [sig]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(n_bits), r):
+            s = sig
+            for b in flips:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
+def build_ann_index(
+    embeddings: DataFrame, dims: int,
+    n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE pass computing every table's signature: (id, vec, sig_0..sig_T).
+
+    Materialize this (e.g. ``index.write.partitionBy("sig_0")``, or sort
+    by sig columns for min/max row-group pruning) and pass it to
+    ``ann_topk_lsh`` — probes then prune the scan instead of recomputing
+    n_tables × n_planes dot products per row on every query."""
+    vec = F.col(vec_col).cast("array<double>")
+    sigs = [
+        rh_signature(vec, planes).alias(f"sig_{t}")
+        for t, planes in enumerate(table_planes(dims, n_planes, n_tables, seed))
+    ]
+    return embeddings.select(F.col(id_col), vec.alias(vec_col), *sigs)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame, query: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 12, n_tables: int = 4, seed: int = 42, max_hamming: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """ANN top-k: probe only vectors whose signature is within
-    ``max_hamming`` of the query's in ANY of ``n_tables`` hash tables.
-    At scale the signature is a stored/bucketed column and this becomes a
-    partition-pruned scan; recall is tested vs the brute-force oracle."""
-    qv = np.array(query, dtype=float)
-    out = None
-    vec = F.col(vec_col).cast("array<double>")
-    for t in range(n_tables):
-        planes = _planes(len(query), n_planes, seed + 1000 * t)
-        qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0))
-        sig = rh_signature(vec, planes)
-        cand = embeddings.where(
-            F.bit_count(sig.bitwiseXOR(F.lit(qsig).cast("long"))) <= max_hamming
+    """ANN top-k by multi-probe LSH: keep vectors whose signature lies in
+    the hamming ball of the query's in ANY table, then exact-cosine rank.
+
+    With a prebuilt ``index`` the filter is ``sig_t IN <ball>`` over
+    stored columns — pushdown-able, no per-row signature math. Without
+    one, the index is built inline (one scan, all tables at once).
+    Recall is tested >= 0.9 vs the brute-force oracle."""
+    planes_per_table = table_planes(len(query), n_planes, n_tables, seed)
+    if index is None:
+        index = build_ann_index(
+            embeddings, len(query), n_planes, n_tables, seed, id_col, vec_col
         )
-        out = cand if out is None else out.unionByName(cand)
+    probe = None
+    for t, planes in enumerate(planes_per_table):
+        ball = hamming_ball(query_signature(query, planes), n_planes, max_hamming)
+        cond = F.col(f"sig_{t}").isin(ball)
+        probe = cond if probe is None else probe | cond
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
-        out.dropDuplicates([id_col])
-        .select(F.col(id_col), cosine(vec, q).alias("cos_sim"))
+        index.where(probe)
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95,
+    embeddings: DataFrame, dims: int, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 14, seed: int = 42,
+    n_bands: int = 4, planes_per_band: int = 6, seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: bucket by full hyperplane signature, join
-    within buckets, verify cosine >= threshold. Near-identical vectors
-    collide with high probability; the bucket join replaces the O(n²)
-    cross product."""
-    planes = _planes(
-        embeddings.select(F.size(vec_col)).head()[0], n_planes, seed
-    )
+    """Embedding-cosine near-dup: band the hyperplane signature (multi-band
+    OR — a pair colliding in ANY band becomes a candidate), size-guard the
+    buckets, verify cosine >= threshold. Recall for a pair at cosine c is
+    1 - (1 - p^planes_per_band)^n_bands with p = 1 - arccos(c)/pi — the
+    defaults give ~0.95 recall at c = 0.95 (vs ~0.04 for the round-1
+    full-signature bucket at c = 0.8)."""
     vec = F.col(vec_col).cast("array<double>")
+    bands = table_planes(dims, planes_per_band, n_bands, seed)
+    band_cols = [
+        F.struct(F.lit(t).alias("band"), rh_signature(vec, planes).alias("bsig"))
+        for t, planes in enumerate(bands)
+    ]
     sig = embeddings.select(
-        F.col(id_col).alias("doc"), vec.alias("v"), rh_signature(vec, planes).alias("sig")
-    )
-    a = sig.select(F.col("sig"), F.col("doc").alias("doc_a"), F.col("v").alias("va"))
-    b = sig.select(F.col("sig"), F.col("doc").alias("doc_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, "sig")
+        F.col(id_col).alias("doc"), vec.alias("v"),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("doc", "v", F.col("bb").band.alias("band"), F.col("bb").bsig.alias("bsig"))
+    counts = sig.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
+    guarded = sig.join(counts.where(F.col("_n") <= max_bucket_size), ["band", "bsig"]).drop("_n")
+    a = guarded.select("band", "bsig", F.col("doc").alias("doc_a"), F.col("v").alias("va"))
+    b = guarded.select("band", "bsig", F.col("doc").alias("doc_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["band", "bsig"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "cos_sim",
-            dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))),
+        .select("doc_a", "doc_b", "va", "vb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
         )
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
-        .distinct()
     )

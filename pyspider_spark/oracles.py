@@ -14,6 +14,21 @@ from pyspider_spark.functions.portable_hash import HASH_BITS, md5_hash56_sql
 from pyspider_spark.operators.dedup import simhash_chunk_plan
 
 
+def _vec_sql(vec) -> str:
+    """DOUBLE[] literal with full round-trip precision (repr matches the
+    exact double Spark embeds via F.lit)."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def rh_signature_sql(vec_expr: str, planes) -> str:
+    """Mirror of functions.similarity.rh_signature (same plane literals)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_vec_sql(p)}) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
 def minhash_pairs_sql(
     k: int, n_hashes: int, bands: int, rows: int, threshold: float,
     max_bucket_size: int = 1000,
@@ -83,6 +98,108 @@ def minhash_pairs_sql(
         )
         SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard
         FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def ann_lsh_topk_sql(
+    query: list[float], k: int = 10,
+    n_planes: int = 12, n_tables: int = 4, seed: int = 42, max_hamming: int = 2,
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Mirror of functions.similarity.ann_topk_lsh: per-table signatures
+    from the SAME seeded planes, multi-probe via hamming-ball IN lists,
+    exact-cosine rank over the union of probes."""
+    from pyspider_spark.functions.similarity import (
+        hamming_ball,
+        query_signature,
+        table_planes,
+    )
+
+    planes_per_table = table_planes(len(query), n_planes, n_tables, seed)
+    sig_cols = ",\n                   ".join(
+        f"{rh_signature_sql('v', planes)} AS sig_{t}"
+        for t, planes in enumerate(planes_per_table)
+    )
+    probe = " OR ".join(
+        "sig_{t} IN ({ball})".format(
+            t=t,
+            ball=", ".join(
+                str(s)
+                for s in hamming_ball(
+                    query_signature(query, planes), n_planes, max_hamming
+                )
+            ),
+        )
+        for t, planes in enumerate(planes_per_table)
+    )
+    q = _vec_sql(query)
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+        ),
+        sigs AS (
+            SELECT {id_col}, v,
+                   {sig_cols}
+            FROM base
+        )
+        SELECT {id_col}, ROUND(list_cosine_similarity(v, {q}), 4) AS cos_sim
+        FROM sigs
+        WHERE {probe}
+        ORDER BY list_cosine_similarity(v, {q}) DESC, {id_col} ASC
+        LIMIT {k}
+    """
+
+
+def embedding_near_dup_sql(
+    dims: int, threshold: float = 0.95,
+    n_bands: int = 4, planes_per_band: int = 6, seed: int = 42,
+    max_bucket_size: int = 1000, plant_every: int | None = None,
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Mirror of functions.similarity.embedding_near_dup_pairs: banded
+    hyperplane buckets (same seeded planes), size guard, cosine verify.
+    ``plant_every`` mirrors the driver query's planted near-dups: for
+    every id divisible by it, a copy at id+1_000_000 with v[0] += 0.5."""
+    from pyspider_spark.functions.similarity import table_planes
+
+    bands = table_planes(dims, planes_per_band, n_bands, seed)
+    aug = f"SELECT {id_col} AS doc, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}"
+    if plant_every:
+        aug += f"""
+            UNION ALL
+            SELECT {id_col} + 1000000, list_concat([v[1] + 0.5], v[2:])
+            FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
+            WHERE {id_col} % {plant_every} = 0"""
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc, v, {t} AS band, {rh_signature_sql('v', planes)} AS bsig FROM aug"
+        for t, planes in enumerate(bands)
+    )
+    return f"""
+        WITH aug AS (
+            {aug}
+        ),
+        banded AS (
+            {band_selects}
+        ),
+        counts AS (SELECT band, bsig, COUNT(*) AS n FROM banded GROUP BY 1, 2),
+        ok AS (
+            SELECT b.doc, b.v, b.band, b.bsig FROM banded b
+            JOIN counts c ON b.band = c.band AND b.bsig = c.bsig
+            WHERE c.n <= {max_bucket_size}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM ok a JOIN ok b ON a.band = b.band AND a.bsig = b.bsig
+            WHERE a.doc < b.doc
+        ),
+        verified AS (
+            SELECT c.doc_a, c.doc_b, list_cosine_similarity(x.v, y.v) AS cs
+            FROM cand c
+            JOIN aug x ON x.doc = c.doc_a
+            JOIN aug y ON y.doc = c.doc_b
+        )
+        SELECT doc_a, doc_b, ROUND(cs, 4) AS cos_sim
+        FROM verified WHERE cs >= {threshold}
     """
 
 

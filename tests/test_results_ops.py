@@ -66,22 +66,26 @@ def test_windowed_counters_buckets(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    """LSH ANN must recover most of the brute-force top-k (the oracle)."""
+    """LSH ANN must recover >= 0.9 of the brute-force top-k (averaged
+    over queries so one lucky draw can't pass)."""
     import numpy as np
 
     from pyspider_spark.functions.similarity import ann_topk_lsh, cosine_topk
 
     rng = np.random.RandomState(3)
     vecs = rng.randn(400, 16).astype("float32")
-    query = [round(float(x), 5) for x in rng.randn(16)]
     df = spark.createDataFrame(
         [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
-    )
-    exact = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
-    approx = {r["vec_id"] for r in
-              ann_topk_lsh(df, query, k=10, n_planes=10, n_tables=6, max_hamming=3).collect()}
-    recall = len(exact & approx) / 10
-    assert recall >= 0.6, f"recall {recall}"
+    ).cache()
+    recalls = []
+    for _ in range(3):
+        query = [round(float(x), 5) for x in rng.randn(16)]
+        exact = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  ann_topk_lsh(df, query, k=10, n_planes=10, n_tables=6, max_hamming=3).collect()}
+        recalls.append(len(exact & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, f"recall {recalls}"
 
 
 def test_minhash_finds_planted_near_dups(spark):
