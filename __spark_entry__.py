@@ -96,34 +96,40 @@ def q_f2_merge_on_put(spark, sf):
 
 
 def q_f6_token_bucket(spark, sf):
-    """F6: per-group quota = least(ready_count, floor(tokens))."""
-    return (
-        _t(spark, sf, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_ready"))
-        .withColumn("quota", F.least(F.col("n_ready"), F.floor(F.lit(150.7))).cast("long"))
-        .select("o_orderpriority", "n_ready", "quota")
+    """F6: per-group quota = least(ready_count, floor(tokens)) — computed
+    by the REAL politeness.round_quotas/Bucket code (each priority class
+    is a project with burst 150.7), so a bucket regression turns this
+    driver row red."""
+    from pyspider_spark.operators import politeness
+
+    counts = {
+        r["o_orderpriority"]: r["n"]
+        for r in _t(spark, sf, "orders")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    cfgs = {p: {"rate": 0.0, "burst": 150.7} for p in counts}
+    quotas = politeness.round_quotas(
+        politeness.BudgetState(), cfgs, counts, now=0.0, loop_limit=1 << 40
+    )
+    rows = [(p, int(n), min(int(n), quotas[p])) for p, n in counts.items()]
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_ready long, quota long"
     )
 
 
 def q_f8_fair_share(spark, sf):
-    """F8: weighted fair-share clamps (share = floor(w/total*1000) clamped
-    to [100, 333]) — scheduler.py:500-522 math."""
-    counts = _t(spark, sf, "orders").groupBy("o_orderpriority").agg(F.count("*").alias("w"))
-    total = counts.select(F.sum("w").alias("t"))
-    return (
-        counts.crossJoin(total)
-        .withColumn(
-            "share",
-            F.least(
-                F.greatest(
-                    F.floor(F.col("w").cast("double") / F.col("t") * 1000), F.lit(100)
-                ),
-                F.lit(333),
-            ).cast("long"),
-        )
-        .select("o_orderpriority", "w", "share")
-    )
+    """F8: weighted fair-share clamps — computed by the REAL
+    politeness.fair_share_limits (scheduler.py:500-522 math)."""
+    from pyspider_spark.operators import politeness
+
+    counts = {
+        r["o_orderpriority"]: r["w"]
+        for r in _t(spark, sf, "orders")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("w")).collect()
+    }
+    limits = politeness.fair_share_limits(counts, loop_limit=1000)
+    rows = [(p, int(w), int(limits[p])) for p, w in counts.items()]
+    return spark.createDataFrame(rows, "o_orderpriority string, w long, share long")
 
 
 def q_f9_urlseen_antijoin(spark, sf):
@@ -134,31 +140,41 @@ def q_f9_urlseen_antijoin(spark, sf):
 
 
 def q_f10_restart_rules(spark, sf):
-    """F10: restart CASE rules (itag/age/force_update analog) per order."""
-    o = _t(spark, sf, "orders")
-    restart = (
-        F.when(F.col("o_orderstatus") == "P", F.lit("itag_changed"))
-        .when(
-            (F.col("o_orderstatus") == "O")
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")),
-            F.lit("age_expired"),
-        )
-        .when(F.col("o_totalprice") > 400000, F.lit("force_update"))
-        .otherwise(F.lit("no_restart"))
+    """F10: restart rules per order, via the REAL frontier.restart_flags /
+    restart_reason_label builders (itag > age > force_update precedence).
+    Mapping: status P = changed itag; status O + pre-1995 = age expired
+    (age 0, last crawl at epoch 0, now 1); price > 400k = force_update."""
+    from pyspider_spark.operators.frontier import restart_flags, restart_reason_label
+
+    o = _t(spark, sf, "orders").withColumn(
+        "schedule",
+        F.struct(
+            F.when(F.col("o_orderstatus") == "P", F.lit("changed"))
+            .otherwise(F.lit("same")).alias("itag"),
+            F.when(
+                (F.col("o_orderstatus") == "O")
+                & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")),
+                F.lit(0),
+            ).otherwise(F.lit(-1)).cast("long").alias("age"),
+            (F.col("o_totalprice") > 400000).alias("force_update"),
+        ),
+    ).withColumn(
+        "old_schedule", F.struct(F.lit("same").alias("itag"))
     )
-    return o.groupBy(restart.alias("restart_reason")).agg(F.count("*").alias("n"))
+    itag_changed, age_expired, fu = restart_flags(
+        F.col("schedule"), F.col("old_schedule"), F.lit(0.0), now=1.0
+    )
+    label = restart_reason_label(itag_changed, age_expired, fu)
+    return o.groupBy(label.alias("restart_reason")).agg(F.count("*").alias("n"))
 
 
 def q_f13_retry_ladder(spark, sf):
-    """F13: retry-delay ladder {0:30,1:1h,2:6h,3:12h,'':24h}."""
+    """F13: retry-delay ladder via the REAL frontier.ladder_delay_expr
+    (the expression apply_outcomes uses)."""
+    from pyspider_spark.operators.frontier import DEFAULT_RETRY_DELAY, ladder_delay_expr
+
     li = _t(spark, sf, "lineitem").withColumn("retried", F.col("l_linenumber") - 1)
-    delay = (
-        F.when(F.col("retried") == 0, 30)
-        .when(F.col("retried") == 1, 3600)
-        .when(F.col("retried") == 2, 21600)
-        .when(F.col("retried") == 3, 43200)
-        .otherwise(86400)
-    )
+    delay = ladder_delay_expr(F.col("retried"), DEFAULT_RETRY_DELAY).cast("long")
     status = F.when(F.col("retried") >= 3, F.lit("FAILED")).otherwise(F.lit("RETRY"))
     return (
         li.select(delay.alias("delay"), status.alias("status"))
@@ -168,12 +184,17 @@ def q_f13_retry_ladder(spark, sf):
 
 
 def q_f19_inqueue_limit(spark, sf):
-    """F19: per-project overflow drop (keep first 2 per custkey by arrival)."""
+    """F19: per-project overflow drop via the REAL
+    frontier.inqueue_headroom_cut (keep first 2 per custkey by arrival)."""
+    from pyspider_spark.operators.frontier import inqueue_headroom_cut
+
+    kept = inqueue_headroom_cut(
+        _t(spark, sf, "orders"), {}, key_col="o_custkey",
+        order_by=(F.asc("o_orderdate"), F.asc("o_orderkey")), default=2,
+    )
     w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
     return (
-        _t(spark, sf, "orders")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 2)
+        kept.withColumn("rk", F.row_number().over(w))
         .select("o_custkey", "rk", "o_orderkey")
     )
 
@@ -463,7 +484,9 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT o_orderpriority, COUNT(*) AS w FROM orders GROUP BY 1),
                  t AS (SELECT SUM(w) AS t FROM c)
             SELECT o_orderpriority, w,
-                   LEAST(GREATEST(CAST(FLOOR(w * 1000.0 / t) AS BIGINT), 100), 333) AS share
+                   -- (w / t) * L in THIS order: mirrors fair_share_limits'
+                   -- int((1.0 * weight / total) * loop_limit) fp rounding
+                   LEAST(GREATEST(CAST(FLOOR((w / CAST(t AS DOUBLE)) * 1000) AS BIGINT), 100), 333) AS share
             FROM c CROSS JOIN t
         """,
         "f9_urlseen_antijoin": """

@@ -22,12 +22,17 @@ from pyspark.sql import functions as F
 
 from pyspider_spark.functions import urlkit
 from pyspider_spark.operators.frontier import make_seq
+from pyspider_spark.operators.frontier import project_itag_expr as _itag_expr
 
 
-def extract_links(fetched_wave: DataFrame, round_no: int) -> DataFrame:
+def extract_links(
+    fetched_wave: DataFrame, round_no: int, itags: dict[str, str] | None = None
+) -> DataFrame:
     """P3/P4/P6: explode link spans of successfully processed pages into
     candidate task rows. Follow priority/schedule mirror the bench handler
-    (libs/bench.py:256-265: plain ``self.crawl(url)`` per link ⇒ defaults).
+    (libs/bench.py:256-265: plain ``self.crawl(url)`` per link ⇒ defaults);
+    ``itags`` stamps each project's current itag onto its candidates
+    (@config(itag=...) analogue), driving F10 restarts on itag bumps.
 
     seq = make_seq(round, parent wave_rank, span offset): deterministic,
     FIFO-faithful (parents pop in wave_rank order, links in span order).
@@ -60,16 +65,20 @@ def extract_links(fetched_wave: DataFrame, round_no: int) -> DataFrame:
             F.lit(0).cast("int").alias("retried"),
             F.lit(0.0).cast("double").alias("exetime"),
             F.lit(-1).cast("long").alias("age"),
-            F.lit(None).cast("string").alias("itag"),
+            _itag_expr(itags).alias("itag"),
             F.lit(False).alias("force_update"),
             F.lit(False).alias("auto_recrawl"),
             F.lit(False).alias("cancel"),
         ).alias("schedule"),
+        # method/timeout stay NULL = "unspecified": the reference task
+        # carries only user-provided fetch keys, so project crawl_config
+        # can fill them at select (F20); the fetcher applies GET/120
+        # defaults last. robots_txt=True is this corpus's explicit opt-in.
         F.struct(
-            F.lit("GET").alias("method"),
+            F.lit(None).cast("string").alias("method"),
             F.lit(None).cast("map<string,string>").alias("headers"),
             F.lit(None).cast("string").alias("data"),
-            F.lit(120).cast("int").alias("timeout"),
+            F.lit(None).cast("int").alias("timeout"),
             F.lit(None).cast("string").alias("save"),
             F.lit(True).alias("robots_txt"),
         ).alias("fetch"),

@@ -136,12 +136,17 @@ def resolve_redirects(
     Location manually with a hop budget (default 5), erroring with 599 when
     exhausted.
 
-    ``redirects``: (from_url, to_url) map (in real mode this comes from the
-    fetch layer; simulated mode joins it like a vhost table). Re-expressed
-    as ``max_redirects`` successive broadcast left-joins — a bounded
-    iterative self-join, no loop-carried DataFrame growth. Adds:
-    ``resolved_url`` (final), ``redirect_url`` (first hop, for track),
-    ``redirect_exhausted`` (boolean ⇒ fetch error 599).
+    ``redirects``: (from_url, to_url[, set_cookie]) map (in real mode this
+    comes from the fetch layer; simulated mode joins it like a vhost
+    table). Re-expressed as ``max_redirects`` successive broadcast
+    left-joins — a bounded iterative self-join, no loop-carried DataFrame
+    growth. Adds: ``resolved_url`` (final), ``redirect_url`` (first hop,
+    for track), ``redirect_exhausted`` (boolean ⇒ fetch error 599), and —
+    when the redirect table carries a ``set_cookie`` map column —
+    ``cookie_jar``: the session jar accumulated across hops, later hops
+    overriding earlier keys (X3; cookie_utils.py:1-33 +
+    tornado_fetcher.py:337-350 session semantics, seeded from the task's
+    Cookie-relevant state and merged per response).
     """
     if redirects is None:
         return (
@@ -149,28 +154,44 @@ def resolve_redirects(
             .withColumn("redirect_url", F.lit(None).cast("string"))
             .withColumn("redirect_exhausted", F.lit(False))
         )
-    rmap = F.broadcast(
-        redirects.select(F.col("from_url").alias("_ru"), F.col("to_url").alias("_rt"))
-    )
+    from pyspider_spark.functions.maps import map_override
+
+    with_cookies = "set_cookie" in redirects.columns
+    cols = [F.col("from_url").alias("_ru"), F.col("to_url").alias("_rt")]
+    if with_cookies:
+        cols.append(F.col("set_cookie").alias("_rc"))
+    rmap = F.broadcast(redirects.select(*cols))
     out = (
         wave.withColumn("resolved_url", F.col("url"))
         .withColumn("redirect_url", F.lit(None).cast("string"))
     )
+    if with_cookies:
+        out = out.withColumn(
+            "cookie_jar", F.lit(None).cast("map<string,string>")
+        )
     for hop in range(max_redirects):
-        out = (
-            out.join(rmap, out["resolved_url"] == rmap["_ru"], "left")
-            .withColumn(
-                "redirect_url",
-                F.when(F.col("redirect_url").isNull() & F.col("_rt").isNotNull(), F.col("_rt"))
-                .otherwise(F.col("redirect_url")),
+        out = out.join(rmap, out["resolved_url"] == rmap["_ru"], "left").withColumn(
+            "redirect_url",
+            F.when(F.col("redirect_url").isNull() & F.col("_rt").isNotNull(), F.col("_rt"))
+            .otherwise(F.col("redirect_url")),
+        )
+        if with_cookies:
+            # this hop's Set-Cookie merges into the jar, new keys win
+            out = out.withColumn(
+                "cookie_jar",
+                F.when(
+                    F.col("_rt").isNotNull(),
+                    map_override(F.col("cookie_jar"), F.col("_rc")),
+                ).otherwise(F.col("cookie_jar")),
             )
-            .withColumn("resolved_url", F.coalesce(F.col("_rt"), F.col("resolved_url")))
-            .drop("_ru", "_rt")
+        out = (
+            out.withColumn("resolved_url", F.coalesce(F.col("_rt"), F.col("resolved_url")))
+            .drop("_ru", "_rt", *(["_rc"] if with_cookies else []))
         )
     # budget exhausted = still one more hop available after max hops
     out = out.join(rmap, out["resolved_url"] == rmap["_ru"], "left").withColumn(
         "redirect_exhausted", F.col("_rt").isNotNull()
-    ).drop("_ru", "_rt")
+    ).drop("_ru", "_rt", *(["_rc"] if with_cookies else []))
     return out
 
 

@@ -21,9 +21,72 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass, field
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 FAIL_PAUSE_NUM = 10
 PAUSE_TIME = 5 * 60
 UNPAUSE_CHECK_NUM = 3
+
+
+def join_crawl_config(wave: DataFrame, project_configs: dict[str, dict]) -> DataFrame:
+    """F20: merge each project's ``crawl_config`` into the selected wave,
+    task values winning — base_handler.task_join_crawl_config semantics
+    (base_handler.py:227-253: scalar fields via setdefault, dict fields
+    config-base-then-task-update), applied at select time like
+    scheduler.on_select_task (scheduler.py:1002-1004).
+
+    Supported config keys (the FETCH_TYPE surface): ``headers`` (deep
+    merge, task keys win), ``method``, ``data``, ``timeout``, ``save``,
+    ``robots_txt`` (each fills only NULL task fields). The config table is
+    O(#projects) ⇒ broadcast join, no wave shuffle. Projects without a
+    crawl_config pass through untouched (no-op when none have one).
+    """
+    ccs = {
+        p: cfg.get("crawl_config")
+        for p, cfg in project_configs.items()
+        if cfg.get("crawl_config")
+    }
+    if not ccs:
+        return wave
+    spark = wave.sparkSession
+    def _headers(cc: dict) -> dict | None:
+        # X6: a config-level user_agent becomes the User-Agent header base
+        # (explicit headers — config or task — still win, matching the
+        # fetcher's default-UA-then-update order, tornado_fetcher.py:224-229)
+        h = dict(cc.get("headers") or {})
+        if cc.get("user_agent") and "User-Agent" not in h:
+            h["User-Agent"] = cc["user_agent"]
+        return h or None
+
+    rows = [
+        (p, _headers(cc), cc.get("method"), cc.get("data"),
+         cc.get("timeout"), cc.get("save"), cc.get("robots_txt"))
+        for p, cc in ccs.items()
+    ]
+    cc = F.broadcast(spark.createDataFrame(
+        rows,
+        "project string, cc_headers map<string,string>, cc_method string, "
+        "cc_data string, cc_timeout int, cc_save string, cc_robots_txt boolean",
+    ))
+    joined = wave.join(cc, "project", "left")
+    f = F.col("fetch")
+    # deep merge: config pairs are the base, task pairs win (reference
+    # does dict(config); update(task))
+    from pyspider_spark.functions.maps import map_override
+
+    merged_headers = map_override(F.col("cc_headers"), f.headers)
+    merged = (
+        f.withField("headers", merged_headers)
+        .withField("method", F.coalesce(f.method, F.col("cc_method")))
+        .withField("data", F.coalesce(f.data, F.col("cc_data")))
+        .withField("timeout", F.coalesce(f.timeout, F.col("cc_timeout")))
+        .withField("save", F.coalesce(f.save, F.col("cc_save")))
+        .withField("robots_txt", F.coalesce(f.robots_txt, F.col("cc_robots_txt")))
+    )
+    return joined.withColumn("fetch", merged).drop(
+        "cc_headers", "cc_method", "cc_data", "cc_timeout", "cc_save", "cc_robots_txt"
+    )
 
 
 @dataclass

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,18 +65,58 @@ def common_fields(results: DataFrame, sample: int = 30) -> list[str]:
     return sorted(keys or [])
 
 
+def _others_udf(fields: list[str]):
+    """Spill column for csv dumps: the result keys NOT among the common
+    fields, re-serialized as one JSON object (result_dump.py:112-127
+    'others'). Arrow-batched pandas UDF — this is the export path, not the
+    crawl hot path; exact key-set arithmetic over arbitrary JSON beats a
+    lossy from_json(map<string,string>) coercion."""
+    from pyspark.sql.types import StringType
+
+    common = set(fields)
+
+    @F.pandas_udf(StringType())
+    def others(result: pd.Series) -> pd.Series:
+        out = []
+        for r in result:
+            try:
+                d = json.loads(r) if r else None
+            except ValueError:
+                d = None
+            if not isinstance(d, dict):
+                out.append(json.dumps(d, ensure_ascii=False))
+            else:
+                out.append(
+                    json.dumps(
+                        {k: v for k, v in d.items() if k not in common},
+                        ensure_ascii=False,
+                    )
+                )
+        return pd.Series(out)
+
+    return others
+
+
 def dump_results(results: DataFrame, path: str, fmt: str = "json") -> None:
-    """R4: dump with common-field projection; csv gets one column per
-    common field plus `...` spill (result_dump.py:46-133)."""
+    """R4: dump in json / txt / csv (result_dump.py:46-133): txt is
+    url<TAB>result-json lines; csv gets one column per common field plus
+    the '...' spill column holding the non-common keys as JSON."""
     latest = latest_results(results)
     if fmt == "json":
         latest.select("taskid", "project", "url", "result", "updatetime").write.mode(
             "overwrite"
         ).json(path)
         return
+    if fmt == "txt":
+        latest.select(
+            F.concat_ws("\t", F.col("url"), F.col("result")).alias("value")
+        ).write.mode("overwrite").text(path)
+        return
     fields = common_fields(latest)
     cols = [F.get_json_object("result", f"$.{f}").alias(f) for f in fields]
-    latest.select(F.col("url"), *cols).write.mode("overwrite").option("header", True).csv(path)
+    latest.select(
+        F.col("url"), *cols, _others_udf(fields)(F.col("result")).alias("...")
+    ).write.mode("overwrite").option("header", True).csv(path)
 
 
 def active_tasks_view(frontier: DataFrame, limit: int = 100) -> DataFrame:

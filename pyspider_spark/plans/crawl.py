@@ -39,11 +39,18 @@ class CrawlReport:
     results: DataFrame | None
 
 
+def _config_itags(config: RoundConfig) -> dict[str, str] | None:
+    itags = {p: c.get("itag") for p, c in config.projects.items() if c.get("itag")}
+    return itags or None
+
+
 def bootstrap(spark: SparkSession, seeds: DataFrame, config: RoundConfig) -> RoundState:
     """Round -1: seeds become the initial frontier (scheduler.on_new_request
     for each seed; all unseen ⇒ plain inserts)."""
     empty = spark.createDataFrame([], FRONTIER_SCHEMA)
-    cands = merge_candidates(candidates_from_seeds(seeds, config.start_time))
+    cands = merge_candidates(
+        candidates_from_seeds(seeds, config.start_time, itags=_config_itags(config))
+    )
     upserts, _ = route_candidates(empty, cands, config.start_time, round_no=0)
     return RoundState(frontier=upserts, budget=politeness.BudgetState(), round_no=0)
 
@@ -61,7 +68,15 @@ def crawl(
     use_bloom: bool = False,
     bloom_expected: int = 1 << 20,
     redirects: DataFrame | None = None,
+    project_updates: dict[int, dict[str, dict]] | None = None,
 ) -> CrawlReport:
+    """``project_updates``: {round_no: {project: config_delta}} — the
+    quantized _update_projects lifecycle (scheduler.py:206-259): before the
+    given round, the delta (rate, status, itag, retry_delay, crawl_config,
+    ...) deep-merges into the project's config. An itag change makes every
+    subsequently re-emitted candidate restart its SUCCESS task (F10); a
+    delta with ``"reseed": True`` additionally re-issues the project's
+    seeds (the 'run'/on_start analogue), cascading the recrawl."""
     state = bootstrap(spark, seeds, config)
     bloom = None
     if use_bloom:
@@ -71,7 +86,7 @@ def crawl(
         bloom.add_df(state.frontier)
     return _loop(
         spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
-        bloom=bloom, redirects=redirects,
+        bloom=bloom, redirects=redirects, project_updates=project_updates, seeds=seeds,
     )
 
 
@@ -99,7 +114,7 @@ def resume(
 
 def _loop(
     spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
-    bloom=None, redirects=None,
+    bloom=None, redirects=None, project_updates=None, seeds=None,
 ) -> CrawlReport:
     selected_total = 0
     results_total = 0
@@ -112,6 +127,31 @@ def _loop(
     max_idle = 12 if config.events else 0
 
     for _ in range(max_rounds):
+        if project_updates and state.round_no in project_updates:
+            from pyspider_spark.operators.frontier import candidates_from_seeds
+
+            deltas = project_updates[state.round_no]
+            reseed_projects = []
+            for p, delta in deltas.items():
+                cfg_p = config.projects.setdefault(p, {})
+                for k, v in delta.items():
+                    if k == "reseed":
+                        if v:
+                            reseed_projects.append(p)
+                    elif k == "crawl_config" and isinstance(cfg_p.get(k), dict):
+                        cfg_p[k] = {**cfg_p[k], **v}
+                    else:
+                        cfg_p[k] = v
+            if reseed_projects and seeds is not None:
+                re_cands = candidates_from_seeds(
+                    seeds.where(F.col("project").isin(reseed_projects)),
+                    config.clock(state.round_no),
+                    itags=_config_itags(config),
+                )
+                pending_extra = (
+                    re_cands if pending_extra is None
+                    else pending_extra.unionByName(re_cands)
+                )
         out: RoundOutput = run_round(
             state, documents, config, robots, bloom=bloom,
             extra_candidates=pending_extra, synthetic_wave=pending_syn,
@@ -122,47 +162,51 @@ def _loop(
         n_selected = sum(out.selected_counts.values())
         selected_total += n_selected
 
-        # localCheckpoint each round: the round DAG references the previous
-        # frontier several times (merge lhs, route old-side), so an
+        # truncate frontier lineage each round: the round DAG references the
+        # previous frontier several times (merge lhs, route old-side), so an
         # un-truncated plan tree grows ~3^k — batching checkpoints was tried
-        # and overflows plan analysis; per-round truncation is structural
-        new_frontier = out.state.frontier.localCheckpoint(eager=True)
+        # and overflows plan analysis; per-round truncation is structural.
+        # In store mode the parquet snapshot write + read-back IS the
+        # truncation — no separate eager localCheckpoint disk/memory write.
+        if store is not None:
+            store.write_frontier(out.state.frontier, out.state.round_no - 1)
+            new_frontier = store.read_frontier(out.state.round_no - 1)
+        else:
+            new_frontier = out.state.frontier.localCheckpoint(eager=True)
         out.state.frontier = new_frontier
         if bloom is not None:
             # fold this round's (possibly) new taskids into the URL-seen set;
             # re-adding known ids is a no-op, so the whole round delta is safe
             bloom.add_df(new_frontier.where(new_frontier.round_no == out.state.round_no - 1))
-        if out.state.postponed is not None:
+        if out.state.postponed is not None and out.postponed_count > 0:
             # postponed (force_update on a LEASED task) is rare and tiny —
-            # collect the rows once instead of checkpoint + isEmpty
+            # collect the rows once; the count came free with the stats job
             rows = out.state.postponed.collect()
-            out.state.postponed = (
-                spark.createDataFrame(rows, out.state.postponed.schema) if rows else None
-            )
-
-        if collect_results or store is not None:
-            round_results = out.results.localCheckpoint(eager=True)
-            results_total += round_results.count()
-            if collect_results:
-                all_results = (
-                    round_results
-                    if all_results is None
-                    else all_results.unionByName(round_results)
-                )
+            out.state.postponed = spark.createDataFrame(rows, out.state.postponed.schema)
         else:
-            round_results = None
+            out.state.postponed = None
+
+        results_total += out.results_count  # counted by the round stats job
+        if collect_results:
+            round_results = out.results.localCheckpoint(eager=True)
+            all_results = (
+                round_results
+                if all_results is None
+                else all_results.unionByName(round_results)
+            )
+        else:
+            round_results = out.results if store is not None else None
 
         if store is not None:
-            store.write_frontier(new_frontier, out.state.round_no - 1)
-            store.append(round_results, "results")
+            store.append(round_results, "results", round_no=out.state.round_no - 1)
             store.append(
                 round_metrics(
                     spark, out.state.round_no - 1, config.clock(out.state.round_no - 1), out.metrics
                 ),
                 "metrics",
+                round_no=out.state.round_no - 1,
             )
             store.commit_round(out.state.round_no - 1, state.budget.to_dict())
-            out.state.frontier = store.read_frontier(out.state.round_no - 1)
 
         if config.pause_fsm:
             # F18 feed: this round's completed outcomes, pick order
@@ -200,12 +244,9 @@ def _loop(
                 spark, cron_items, out.state.round_no, config.clock(out.state.round_no)
             )
             # 'on_finished' picks don't count as real selects
-            # (scheduler.py:528-529: `if taskid != 'on_finished'`)
-            fin_picks = {
-                r["project"]: r["count"]
-                for r in out.wave.where(F.col("taskid") == "on_finished")
-                .groupBy("project").count().collect()
-            }
+            # (scheduler.py:528-529: `if taskid != 'on_finished'`);
+            # counted by the round's single stats job
+            fin_picks = out.fin_picks or {}
             fin_items = []
             for p in config.projects:
                 real_selected = out.selected_counts.get(p, 0) - fin_picks.get(p, 0)
@@ -223,14 +264,18 @@ def _loop(
             on_round(out)
         state = out.state
 
-        idle = n_selected == 0 and pending_extra is None and pending_syn is None
+        idle = (
+            n_selected == 0 and pending_extra is None and pending_syn is None
+            # a round that routed new/restarted tasks (or postponed a
+            # replay) has made something selectable — not idle yet
+            and out.routed_count == 0 and out.postponed_count == 0
+            # a scheduled future project update can wake the crawl back up
+            and not (project_updates and any(k >= state.round_no for k in project_updates))
+        )
         idle_rounds = idle_rounds + 1 if idle else 0
         if idle_rounds > max_idle:
             break
 
-    if not (collect_results or store is not None):
-        # results were never materialized per-round; count once at the end
-        results_total = -1
     return CrawlReport(
         rounds=state.round_no,
         selected_total=selected_total,

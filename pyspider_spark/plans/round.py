@@ -69,6 +69,10 @@ class RoundState:
     postponed: DataFrame | None = None
     round_no: int = 0
     projects_state: "ProjectsState | None" = None
+    # per-project ACTIVE+LEASED counts, maintained INCREMENTALLY from each
+    # round's own deltas (inserted - finished + restarts) — the frontier is
+    # never re-aggregated per round (None ⇒ recount once, e.g. on resume)
+    qsizes: dict[str, int] | None = None
 
     def runtime(self) -> "ProjectsState":
         from pyspider_spark.operators.projects import ProjectsState
@@ -87,6 +91,10 @@ class RoundOutput:
     selected_counts: dict[str, int]
     metrics: dict[str, dict[str, float]]
     cached: tuple = ()  # DataFrames to unpersist once the round is committed
+    results_count: int = 0  # from the round's single stats job
+    postponed_count: int = 0
+    routed_count: int = 0  # frontier rows inserted/updated this round
+    fin_picks: dict[str, int] | None = None  # events mode: 'on_finished' selects
 
     def unpersist(self) -> None:
         self.wave.unpersist()
@@ -111,8 +119,12 @@ def run_round(
     # F3/F4: release time-queue arrivals + expired leases
     f = release_ready(state.frontier, now)
 
-    # F6/F8: per-project wave quotas (driver-side small state)
-    qsizes = queue_sizes(f, now)
+    # F6/F8: per-project wave quotas (driver-side small state). Queue
+    # sizes are carried incrementally across rounds — the full-frontier
+    # aggregation runs only when the state has none (bootstrap/resume);
+    # release/lease transitions never change ACTIVE∪LEASED membership, so
+    # end-of-previous-round counts equal start-of-this-round counts.
+    qsizes = state.qsizes if state.qsizes is not None else queue_sizes(f, now)
     quotas = politeness.round_quotas(
         state.budget, config.projects, qsizes, now, config.loop_limit
     )
@@ -127,12 +139,14 @@ def run_round(
         p: cfg.get("max_per_host_per_round", 1 << 30) for p, cfg in config.projects.items()
     }
 
-    # F1/F8: select + lease
-    wave = select_wave(f, quotas, now, round_no, max_per_host).persist()
-    selected_counts = {
-        r["project"]: r["count"] for r in wave.groupBy("project").count().collect()
-    }
-    politeness.consume(state.budget, selected_counts)
+    # F1/F8: select + lease; F20: project crawl_config merged into every
+    # selected task at select time, task values winning (synthetic tasks
+    # bypass the queue and therefore the merge, like the reference)
+    from pyspider_spark.operators.projects import join_crawl_config
+
+    wave = join_crawl_config(
+        select_wave(f, quotas, now, round_no, max_per_host), config.projects
+    ).persist()
 
     # F16/P9: synthetic tasks (cronjob, messages) join the fetch wave but
     # never touch the frontier and never consume tokens
@@ -155,15 +169,22 @@ def run_round(
         fetched = conditional_gate(fetched)
     processed = process_wave(fetched).withColumn("track", build_track(now)).persist()
 
-    # F13-F15: outcomes back into the frontier (wave-sized ⇒ broadcast merge)
-    retry_delay = next(iter(config.projects.values())).get("retry_delay") if config.projects else None
+    # F13-F15: outcomes back into the frontier (wave-sized ⇒ broadcast
+    # merge); retry ladders resolve PER PROJECT (scheduler.py:918)
     outcome_rows = apply_outcomes(
-        processed.where(~F.col("is_synthetic")), now, round_no, retry_delay
+        processed.where(~F.col("is_synthetic")), now, round_no,
+        retry_delays_by_project={
+            p: cfg.get("retry_delay") for p, cfg in config.projects.items()
+            if cfg.get("retry_delay")
+        } or None,
     )
     f2 = merge_frontier(f, outcome_rows, keys_subset=True)
 
-    # P3/P4/P6 → F11/F12 → F5/F9/F10/F19: follows + postponed replays
-    cands = extract_links(processed, round_no)
+    # P3/P4/P6 → F11/F12 → F5/F9/F10/F19: follows + postponed replays;
+    # candidates carry each project's CURRENT itag (dynamic updates make
+    # every re-emitted link restart its SUCCESS task via F10)
+    itags = {p: cfg.get("itag") for p, cfg in config.projects.items() if cfg.get("itag")}
+    cands = extract_links(processed, round_no, itags or None)
     if state.postponed is not None:
         cands = cands.unionByName(state.postponed)
     if extra_candidates is not None:
@@ -171,36 +192,94 @@ def run_round(
     # persist: consumed by route (via the frontier checkpoint), the bloom
     # split, and the postponed collect — without the cache each consumer
     # would re-run the extraction DAG (incl. the canonicalize Arrow UDF)
-    merged_cands = merge_candidates(cands).persist()
+    # F19 headroom is cut ONCE here, before any bloom split — cutting
+    # inside each route call would grant up to 2x the configured headroom
+    # (one full allowance per leg)
     inqueue_limits = {
         p: cfg.get("inqueue_limit", 0) for p, cfg in config.projects.items()
     }
+    merged_cands = merge_candidates(cands)
+    headrooms = {
+        p: max(0, int(lim) - int(qsizes.get(p, 0)))
+        for p, lim in inqueue_limits.items()
+        if lim and lim > 0
+    }
+    if headrooms:
+        from pyspider_spark.operators.frontier import inqueue_headroom_cut
+
+        merged_cands = inqueue_headroom_cut(merged_cands, headrooms, "project", ("seq",))
+    merged_cands = merged_cands.persist()
     if bloom is not None:
         # URL-seen prefilter: bloom negatives are DEFINITELY new ⇒ plain
         # inserts, no frontier join; positives take the exact route join
         # (which also resolves restart rules). Sound: no false negatives.
         definitely_new, maybe_seen = bloom.split_candidates(merged_cands)
         bloom_inserts, _ = route_candidates(
-            f2.limit(0), definitely_new, now, round_no,
-            inqueue_limits=inqueue_limits, queued_counts=qsizes,
+            f2.limit(0), definitely_new, now, round_no, with_qdelta=True
         )
         updates, inserts, postponed = route_candidates(
-            f2, maybe_seen, now, round_no,
-            inqueue_limits=inqueue_limits, queued_counts=qsizes, split=True,
+            f2, maybe_seen, now, round_no, split=True, with_qdelta=True,
         )
         inserts = inserts.unionByName(bloom_inserts)
     else:
         updates, inserts, postponed = route_candidates(
-            f2, merged_cands, now, round_no,
-            inqueue_limits=inqueue_limits, queued_counts=qsizes, split=True,
+            f2, merged_cands, now, round_no, split=True, with_qdelta=True,
         )
     # no frontier-wide shuffle anywhere in the round: `updates` keys all
     # exist (wave-scale ⇒ broadcast left-merge), `inserts` are guaranteed
     # new (plain union) — the Iceberg analogue is MERGE matched-only +
     # append, touching only affected partitions
-    new_frontier = merge_frontier(f2, updates, keys_subset=True).unionByName(inserts)
+    new_frontier = merge_frontier(f2, updates, keys_subset=True).unionByName(
+        inserts.drop("_q_delta")
+    )
 
     results = results_from_wave(processed, now)
+
+    # ---- the round's SINGLE driver job: every per-round count folded into
+    # one union-of-partial-aggs collect (selected, finished, queue deltas,
+    # postponed, results, on_finished picks) — no separate frontier agg,
+    # no per-metric jobs (VERDICT r01: per-round barrier tax)
+    from pyspider_spark.types import FAILED, SUCCESS
+
+    def _tag(df: DataFrame, tag: str, sum_col: str | None = None) -> DataFrame:
+        agg = (
+            df.groupBy("project").agg(F.count("*").cast("long").alias("n"))
+            if sum_col is None
+            else df.groupBy("project").agg(F.sum(sum_col).cast("long").alias("n"))
+        )
+        return agg.select(F.lit(tag).alias("tag"), "project", "n")
+
+    stats_parts = [
+        _tag(wave, "selected"),
+        _tag(outcome_rows.where(F.col("status").isin(SUCCESS, FAILED)), "done"),
+        _tag(inserts, "inserted"),
+        _tag(updates, "updated"),
+        _tag(updates, "upd_delta", "_q_delta"),
+        _tag(postponed, "postponed"),
+        _tag(results, "results"),
+    ]
+    if config.events:
+        stats_parts.append(_tag(wave.where(F.col("taskid") == "on_finished"), "fin_picks"))
+    stats_df = stats_parts[0]
+    for part in stats_parts[1:]:
+        stats_df = stats_df.unionByName(part)
+    stats: dict[str, dict[str, int]] = {}
+    for r in stats_df.collect():
+        stats.setdefault(r["tag"], {})[r["project"]] = int(r["n"])
+
+    selected_counts = stats.get("selected", {})
+    politeness.consume(state.budget, selected_counts)
+    new_qsizes = dict(qsizes)
+    for p in set(stats.get("done", {})) | set(stats.get("inserted", {})) | set(
+        stats.get("upd_delta", {})
+    ):
+        new_qsizes[p] = (
+            new_qsizes.get(p, 0)
+            - stats.get("done", {}).get(p, 0)
+            + stats.get("inserted", {}).get(p, 0)
+            + stats.get("upd_delta", {}).get(p, 0)
+        )
+
     metrics = {
         p: {
             "selected": float(n),
@@ -213,10 +292,17 @@ def run_round(
     new_state = RoundState(
         frontier=new_frontier,
         budget=state.budget,
-        postponed=postponed,
+        postponed=postponed if sum(stats.get("postponed", {}).values()) else None,
         round_no=round_no + 1,
         projects_state=state.projects_state,
+        qsizes=new_qsizes,
     )
     return RoundOutput(
-        new_state, wave, processed, results, selected_counts, metrics, cached=(merged_cands,)
+        new_state, wave, processed, results, selected_counts, metrics,
+        cached=(merged_cands,),
+        results_count=sum(stats.get("results", {}).values()),
+        postponed_count=sum(stats.get("postponed", {}).values()),
+        routed_count=sum(stats.get("inserted", {}).values())
+        + sum(stats.get("updated", {}).values()),
+        fin_picks=stats.get("fin_picks") if config.events else None,
     )

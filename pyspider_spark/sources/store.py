@@ -70,14 +70,39 @@ class SnapshotStore:
         return self.spark.read.parquet(self.frontier_path(round_no)).drop("host_bucket")
 
     # -- append-only logs -----------------------------------------------------
-    def append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(os.path.join(self.root, name))
+    def append(self, df: DataFrame, name: str, round_no: int | None = None) -> None:
+        """Log write. With ``round_no``, the round's rows land in their own
+        overwritten directory: a crash between this write and the manifest
+        flip leaves orphan rows, but the resumed round OVERWRITES them and
+        ``read_log`` only reads committed rounds — exactly-once, not
+        at-least-once. (Iceberg analogue: the log append is part of the
+        same snapshot commit.) Without ``round_no``: plain append."""
+        if round_no is None:
+            df.write.mode("append").parquet(os.path.join(self.root, name))
+        else:
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.root, name, f"round_{int(round_no)}")
+            )
 
     def read_log(self, name: str) -> DataFrame:
         path = os.path.join(self.root, name)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        return self.spark.read.parquet(path)
+        rounds = sorted(
+            d for d in os.listdir(path)
+            if d.startswith("round_") and os.path.isdir(os.path.join(path, d))
+        )
+        if not rounds:
+            return self.spark.read.parquet(path)
+        manifest = self.read_manifest()
+        committed = manifest["round_no"] if manifest else -1
+        keep = [
+            os.path.join(path, d) for d in rounds
+            if int(d.removeprefix("round_")) <= committed
+        ]
+        if not keep:
+            return self.spark.read.parquet(os.path.join(path, rounds[0])).limit(0)
+        return self.spark.read.parquet(*keep)
 
     # -- round commit ---------------------------------------------------------
     def commit_round(self, round_no: int, budget_state: dict, extra: dict | None = None) -> None:

@@ -94,7 +94,13 @@ Reproduce: `python scripts/scaling_bench.py {total}`
 Raw: `{json.dumps(r8)}` / `{json.dumps(r32)}`
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # raw JSON next to the curated BENCH/BASELINE.md (edited by hand so
+    # machine-ceiling/kernel sections survive re-runs)
+    (REPO / "BENCH" / "scaling_e2e.json").write_text(
+        json.dumps({"total": total, "r8": r8, "r32": r32,
+                    "speedup": round(speedup, 3), "efficiency": round(efficiency, 3),
+                    "measured": ts})
+    )
     print(md)
 
 

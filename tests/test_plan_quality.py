@@ -70,3 +70,41 @@ def test_select_wave_no_frontier_wide_sort(spark):
     # window sorts are 'Sort [ ... ], false, 0' (local, per partition);
     # a global sort would be 'Sort [...], true, 0'
     assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
+
+
+def test_crawl_round_driver_action_budget(spark, monkeypatch):
+    """Per-round driver-barrier budget (VERDICT r01 item 5): in memory mode
+    without results collection a round may trigger at most ONE collect (the
+    folded stats job) and ONE localCheckpoint (lineage truncation). A
+    regression that re-adds per-metric collects/counts fails this.
+    (Raw scheduler-job counts are NOT the metric: AQE + broadcast
+    exchanges legitimately spawn many internal jobs per action.)"""
+    from pyspark.sql import DataFrame
+
+    from pyspider_spark.plans.crawl import crawl
+    from pyspider_spark.plans.round import RoundConfig
+    from pyspider_spark.synth import synth_documents, synth_seeds
+
+    docs = synth_documents(spark, total=40, show=4, hosts=2).cache()
+    docs.count()
+    seeds = synth_seeds(spark, total=40, hosts=2, n_seeds=3)
+    cfg = RoundConfig(projects={"bench": {"rate": 1e9, "burst": 1e9}}, loop_limit=10000)
+
+    calls = {"collect": 0, "count": 0, "localCheckpoint": 0, "toPandas": 0}
+    for name in list(calls):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _n=name, _o=orig, **kw):
+            calls[_n] += 1
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+
+    report = crawl(spark, seeds, docs, cfg, robots=None, max_rounds=20,
+                   collect_results=False)
+    docs.unpersist()
+    r = report.rounds
+    # stats collect once per round (+1 bootstrap queue_sizes fallback)
+    assert calls["collect"] <= r + 1, calls
+    assert calls["localCheckpoint"] <= r, calls
+    assert calls["count"] == 0 and calls["toPandas"] == 0, calls

@@ -54,6 +54,25 @@ def test_dump_csv_projects_common_fields(spark, tmp_path):
     assert vals["http://h/1"] == "9"
 
 
+def test_dump_csv_spills_noncommon_fields(spark, tmp_path):
+    """R4 '...' column: keys outside the common set survive as JSON."""
+    path = str(tmp_path / "dump_spill")
+    dump_results(mk_results(spark).where(F.col("project") == "p"), path, fmt="csv")
+    got = spark.read.option("header", True).csv(path)
+    assert "..." in got.columns
+    spill = {r["url"]: json.loads(r["..."]) for r in got.collect()}
+    assert spill["http://h/2"] == {"d": 6}  # 'd' is not common to both rows
+    assert spill["http://h/1"] == {"c": 7}
+
+
+def test_dump_txt_format(spark, tmp_path):
+    """R4 txt: url<TAB>result-json lines (result_dump.dump_as_txt)."""
+    path = str(tmp_path / "dump_txt")
+    dump_results(mk_results(spark).where(F.col("project") == "q"), path, fmt="txt")
+    lines = [r["value"] for r in spark.read.text(path).collect()]
+    assert lines == ['http://h/3\t{"a": 0}']
+
+
 def test_windowed_counters_buckets(spark):
     rows = [
         (0, 1_700_000_000.0, "p", "selected", 5.0),
