@@ -357,6 +357,16 @@ def q_ann_lsh_topk(spark, sf):
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN top-k (oracled: same seeded centroid literals + probe list
+    in DuckDB; the complementary scale path to LSH — partition-pruned
+    cells instead of hash tables)."""
+    from pyspider_spark.functions.similarity import ann_topk_ivf
+
+    top = ann_topk_ivf(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 # near-dup planting: one perturbed copy (v[0] += 0.5, id += 1e6) per
 # PLANT_EVERY-th vector, so the near-dup query has guaranteed positives
 # (the round-1 driver row was vacuous: 0 pairs cleared the threshold)
@@ -439,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "crawl_flagship": q_crawl_flagship,
@@ -458,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": oracles.simhash_pairs_sql(max_hamming=6),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(_QUERY_VEC, k=10),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(_QUERY_VEC, k=10),
         "embedding_near_dup": oracles.embedding_near_dup_sql(
             dims=64, threshold=0.8, plant_every=PLANT_EVERY
         ),

@@ -155,6 +155,71 @@ def ann_topk_lsh(
     )
 
 
+def ivf_centroids(dims: int, n_cells: int, seed: int) -> np.ndarray:
+    """Deterministic IVF cell centroids: seeded gaussian directions,
+    normalized. Data-independent on purpose — both engines (and the
+    oracle SQL, generated at import time) share the same literals; a
+    k-means fit would tie the oracle to a Spark-computed artifact."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dims)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """1-indexed nearest-centroid id by cosine (vectors scored against
+    unit centroids, so dot == cosine ranking)."""
+    sims = F.array(*[
+        dot(vec, F.array(*[F.lit(float(x)) for x in c])) / norm(vec)
+        for c in centroids
+    ])
+    return F.array_position(sims, F.array_max(sims))
+
+
+def build_ivf_index(
+    embeddings: DataFrame, dims: int, n_cells: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF(flat) coarse index: one pass assigning each vector to its
+    nearest seeded centroid. Materialize partitioned by ``cell`` and a
+    query scans only its probe cells (classic IVF pruning — the
+    complementary scale path to the LSH tables)."""
+    vec = F.col(vec_col).cast("array<double>")
+    return embeddings.select(
+        F.col(id_col), vec.alias(vec_col),
+        _cell_expr(vec, ivf_centroids(dims, n_cells, seed)).alias("cell"),
+    )
+
+
+def ivf_probe_cells(query: list[float], n_cells: int, seed: int, nprobe: int) -> list[int]:
+    """The query's ``nprobe`` nearest cells (1-indexed), driver-side."""
+    c = ivf_centroids(len(query), n_cells, seed)
+    q = np.array(query, dtype=float)
+    sims = c @ q / np.linalg.norm(q)
+    return [int(i) + 1 for i in np.argsort(-sims)[:nprobe]]
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 16, nprobe: int = 4, seed: int = 42,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: scan only the query's ``nprobe`` nearest cells,
+    exact-cosine rank inside them. With a prebuilt cell-partitioned
+    ``index`` the filter partition-prunes; recall vs brute force is
+    pytest-tested alongside the LSH path."""
+    if index is None:
+        index = build_ivf_index(embeddings, len(query), n_cells, seed, id_col, vec_col)
+    probes = ivf_probe_cells(query, n_cells, seed, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        index.where(F.col("cell").isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, dims: int, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

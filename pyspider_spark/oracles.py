@@ -150,6 +150,41 @@ def ann_lsh_topk_sql(
     """
 
 
+def ann_ivf_topk_sql(
+    query: list[float], k: int = 10,
+    n_cells: int = 16, nprobe: int = 4, seed: int = 42,
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Mirror of functions.similarity.ann_topk_ivf: same seeded unit
+    centroids as literals, same nearest-cell assignment (1-indexed argmax
+    of cosine), same driver-computed probe list."""
+    from pyspider_spark.functions.similarity import ivf_centroids, ivf_probe_cells
+
+    centroids = ivf_centroids(len(query), n_cells, seed)
+    sims = ",\n                ".join(
+        f"list_dot_product(v, {_vec_sql(c)}) / sqrt(list_dot_product(v, v))"
+        for c in centroids
+    )
+    probes = ", ".join(str(p) for p in ivf_probe_cells(query, n_cells, seed, nprobe))
+    q = _vec_sql(query)
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+        ),
+        cells AS (
+            SELECT {id_col}, v, list_position(sims, list_max(sims)) AS cell
+            FROM (SELECT {id_col}, v, [
+                {sims}
+            ] AS sims FROM base)
+        )
+        SELECT {id_col}, ROUND(list_cosine_similarity(v, {q}), 4) AS cos_sim
+        FROM cells
+        WHERE cell IN ({probes})
+        ORDER BY list_cosine_similarity(v, {q}) DESC, {id_col} ASC
+        LIMIT {k}
+    """
+
+
 def embedding_near_dup_sql(
     dims: int, threshold: float = 0.95,
     n_bands: int = 4, planes_per_band: int = 6, seed: int = 42,

@@ -45,6 +45,41 @@ def test_ann_index_probe_is_pushed_down(spark, tmp_path):
     assert [r["vec_id"] for r in top.collect()] == [r["vec_id"] for r in inline.collect()]
 
 
+def test_ann_ivf_recall_and_partition_pruning(spark, tmp_path):
+    """IVF path: recall >= 0.9 vs brute force across queries, and a
+    cell-partitioned index scans only the probed cells (PartitionFilters)."""
+    from pyspider_spark.functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        cosine_topk,
+        ivf_probe_cells,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(500, 16).astype("float32")
+    df = _vec_df(spark, vecs).cache()
+    recalls = []
+    for _ in range(3):
+        query = [round(float(x), 5) for x in rng.randn(16)]
+        exact = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  ann_topk_ivf(df, query, k=10, n_cells=8, nprobe=6).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, f"recall {recalls}"
+
+    # materialized index partition-prunes to the probe cells
+    idx_path = str(tmp_path / "ivf")
+    build_ivf_index(df, dims=16, n_cells=8).write.partitionBy("cell").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    query = [float(x) for x in rng.randn(16)]
+    top = ann_topk_ivf(index, query, k=5, n_cells=8, nprobe=2, index=index)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    probes = ivf_probe_cells(query, 8, 42, 2)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    got = {r["cell"] for r in index.where(F.col("cell").isin(probes)).select("cell").distinct().collect()}
+    assert got <= set(probes)
+
+
 def test_embedding_near_dup_planted_recall(spark):
     """Plant near-dups at cosine ~0.95; banded buckets must find >= 0.9 of
     them (full-signature bucketing found ~none)."""
