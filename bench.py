@@ -58,6 +58,10 @@ def bench_queries(spark) -> dict[str, float]:
         t0 = time.time()
         force(qs[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        # measurement hygiene: drop caches a query persisted internally
+        # (e.g. minhash's shingle cache) so queries don't contaminate
+        # each other's memory budget
+        spark.catalog.clearCache()
     return times
 
 

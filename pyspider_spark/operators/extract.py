@@ -37,16 +37,26 @@ def extract_links(
     seq = make_seq(round, parent wave_rank, span offset): deterministic,
     FIFO-faithful (parents pop in wave_rank order, links in span order).
     """
-    pages = fetched_wave.where(F.col("fetch_ok") & F.col("content_spans").isNotNull())
+    # prefer the slim link_spans column when the caller cached one (the
+    # round caches (text, offset) pairs instead of full span structs —
+    # ~half the bytes through the persisted wave)
+    spans_col = "link_spans" if "link_spans" in fetched_wave.columns else "content_spans"
+    pages = fetched_wave.where(F.col("fetch_ok") & F.col(spans_col).isNotNull())
     if "not_modified" in fetched_wave.columns:
         pages = pages.where(~F.col("not_modified"))  # X4: 304 skips callback
+    link_spans = (
+        F.col("link_spans")
+        if spans_col == "link_spans"
+        else F.transform(
+            F.filter(F.col("content_spans"), lambda s: s.kind == F.lit("link")),
+            lambda s: F.struct(s.text.alias("text"), s.offset.alias("offset")),
+        )
+    )
     links = pages.select(
         F.col("project"),
         F.col("url").alias("base_url"),
         F.col("wave_rank"),
-        F.explode(
-            F.filter(F.col("content_spans"), lambda s: s.kind == F.lit("link"))
-        ).alias("span"),
+        F.explode(link_spans).alias("span"),
     )
     curl = urlkit.canonical(F.col("span").text, F.col("base_url"))
     return links.select(

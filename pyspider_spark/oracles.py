@@ -35,10 +35,14 @@ def minhash_pairs_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
 ) -> str:
     """Mirror of operators.dedup.minhash_dedup: shingle → minhash → banded
-    LSH bucket join (guarded) → exact-Jaccard verify."""
+    LSH bucket join (guarded) → exact-Jaccard verify. Uses the SAME
+    universal-hash coefficients as minhash_signatures."""
+    from pyspider_spark.operators.dedup import MERSENNE31, minhash_coeffs
+
+    base_h = f"({md5_hash56_sql('shingle')} % {MERSENNE31})"
     mins = ",\n                   ".join(
-        f"MIN({md5_hash56_sql('shingle', salt=f'mh{i}:')}) AS h{i}"
-        for i in range(n_hashes)
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     )
     band_selects = "\n            UNION ALL ".join(
         "SELECT doc, {b} AS band, {bh} AS bh FROM sig".format(
@@ -65,7 +69,8 @@ def minhash_pairs_sql(
         ),
         sig AS (
             SELECT doc, {mins}
-            FROM sh GROUP BY doc
+            FROM (SELECT doc, {base_h} AS h FROM sh)
+            GROUP BY doc
         ),
         banded AS (
             {band_selects}
@@ -206,7 +211,7 @@ def embedding_near_dup_sql(
             FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
             WHERE {id_col} % {plant_every} = 0"""
     band_selects = "\n            UNION ALL ".join(
-        f"SELECT doc, v, {t} AS band, {rh_signature_sql('v', planes)} AS bsig FROM aug"
+        f"SELECT doc, {t} AS band, {rh_signature_sql('v', planes)} AS bsig FROM aug"
         for t, planes in enumerate(bands)
     )
     return f"""
@@ -218,7 +223,7 @@ def embedding_near_dup_sql(
         ),
         counts AS (SELECT band, bsig, COUNT(*) AS n FROM banded GROUP BY 1, 2),
         ok AS (
-            SELECT b.doc, b.v, b.band, b.bsig FROM banded b
+            SELECT b.doc, b.band, b.bsig FROM banded b
             JOIN counts c ON b.band = c.band AND b.bsig = c.bsig
             WHERE c.n <= {max_bucket_size}
         ),

@@ -167,7 +167,24 @@ def run_round(
         fetched = simulated_fetch(gated, documents, now)
     if config.conditional_get:
         fetched = conditional_gate(fetched)
-    processed = process_wave(fetched).withColumn("track", build_track(now)).persist()
+    # cache slimming: everything downstream of process_wave needs only the
+    # LINK spans' (text, offset) — result/title/counts were just computed
+    # into their own columns — so the persisted wave drops the full span
+    # structs (~half the cached bytes; memory bandwidth is the measured
+    # single-box bottleneck, BENCH/BASELINE.md §3b)
+    processed = (
+        process_wave(fetched)
+        .withColumn("track", build_track(now))
+        .withColumn(
+            "link_spans",
+            F.transform(
+                F.filter(F.col("content_spans"), lambda s: s.kind == F.lit("link")),
+                lambda s: F.struct(s.text.alias("text"), s.offset.alias("offset")),
+            ),
+        )
+        .drop("content_spans")
+        .persist()
+    )
 
     # F13-F15: outcomes back into the frontier (wave-sized ⇒ broadcast
     # merge); retry ladders resolve PER PROJECT (scheduler.py:918)
