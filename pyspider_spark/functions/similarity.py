@@ -120,7 +120,10 @@ def build_ann_index(
         rh_signature(vec, planes).alias(f"sig_{t}")
         for t, planes in enumerate(table_planes(dims, n_planes, n_tables, seed))
     ]
-    return embeddings.select(F.col(id_col), vec.alias(vec_col), *sigs)
+    # stamp the build params so a query with mismatched args fails loudly
+    # instead of silently probing wrong buckets (survives parquet round-trip)
+    meta = F.lit(f"{n_planes}/{n_tables}/{seed}").alias("_lsh_params")
+    return embeddings.select(F.col(id_col), vec.alias(vec_col), *sigs, meta)
 
 
 def ann_topk_lsh(
@@ -141,6 +144,18 @@ def ann_topk_lsh(
         index = build_ann_index(
             embeddings, len(query), n_planes, n_tables, seed, id_col, vec_col
         )
+    else:
+        want = f"{n_planes}/{n_tables}/{seed}"
+        if "_lsh_params" in index.columns:
+            got = index.select("_lsh_params").limit(1).collect()
+            if got and got[0][0] != want:
+                raise ValueError(
+                    f"ANN index built with params {got[0][0]} "
+                    f"(n_planes/n_tables/seed) but queried with {want}"
+                )
+        missing = [t for t in range(n_tables) if f"sig_{t}" not in index.columns]
+        if missing:
+            raise ValueError(f"ANN index missing signature columns sig_{missing}")
     probe = None
     for t, planes in enumerate(planes_per_table):
         ball = hamming_ball(query_signature(query, planes), n_planes, max_hamming)
@@ -187,6 +202,7 @@ def build_ivf_index(
     return embeddings.select(
         F.col(id_col), vec.alias(vec_col),
         _cell_expr(vec, ivf_centroids(dims, n_cells, seed)).alias("cell"),
+        F.lit(f"{n_cells}/{seed}").alias("_ivf_params"),
     )
 
 
@@ -210,6 +226,14 @@ def ann_topk_ivf(
     pytest-tested alongside the LSH path."""
     if index is None:
         index = build_ivf_index(embeddings, len(query), n_cells, seed, id_col, vec_col)
+    elif "_ivf_params" in index.columns:
+        want = f"{n_cells}/{seed}"
+        got = index.select("_ivf_params").limit(1).collect()
+        if got and got[0][0] != want:
+            raise ValueError(
+                f"IVF index built with params {got[0][0]} (n_cells/seed) "
+                f"but queried with {want}"
+            )
     probes = ivf_probe_cells(query, n_cells, seed, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query])
     return (

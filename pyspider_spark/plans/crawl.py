@@ -147,6 +147,10 @@ def _loop(
                     seeds.where(F.col("project").isin(reseed_projects)),
                     config.clock(state.round_no),
                     itags=_config_itags(config),
+                    # the reference 'run' button re-issues on_start WITH
+                    # force_update — without it a bare reseed would be a
+                    # silent no-op against already-SUCCESS seed tasks
+                    force_update=True,
                 )
                 pending_extra = (
                     re_cands if pending_extra is None

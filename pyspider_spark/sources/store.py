@@ -100,6 +100,14 @@ class SnapshotStore:
             os.path.join(path, d) for d in rounds
             if int(d.removeprefix("round_")) <= committed
         ]
+        # a store may have mixed plain append() (top-level part files) with
+        # per-round appends (e.g. resumed under newer code) — those legacy
+        # rows are committed data and must not silently vanish
+        legacy = [
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+        ]
+        keep += legacy
         if not keep:
             return self.spark.read.parquet(os.path.join(path, rounds[0])).limit(0)
         return self.spark.read.parquet(*keep)

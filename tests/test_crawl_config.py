@@ -104,3 +104,21 @@ def test_crawl_config_reaches_processed_wave(spark):
     for r in seen:
         assert r["fetch"]["timeout"] == 77
         assert r["fetch"]["headers"]["User-Agent"] == "bench-ua"
+
+
+def test_map_override_null_valued_key_wins(spark):
+    """ADVICE r02 (medium): an override key mapped to NULL must still
+    replace the base entry (dict.update semantics) — and must not crash
+    with DUPLICATED_MAP_KEY, which the element_at-based filter did
+    because element_at returns NULL for null values as well as missing
+    keys."""
+    from pyspider_spark.functions.maps import map_override
+
+    df = spark.createDataFrame(
+        [({"a": "base", "b": "keep"}, {"a": None, "c": "new"})],
+        "base map<string,string>, override map<string,string>",
+    )
+    got = df.select(
+        map_override(F.col("base"), F.col("override")).alias("m")
+    ).collect()[0]["m"]
+    assert got == {"a": None, "b": "keep", "c": "new"}

@@ -63,3 +63,26 @@ def test_rate_update_unthrottles_next_rounds(spark):
     docs.unpersist()
     assert all(w <= 2 for w in waves[:3])  # throttled prefix
     assert max(waves[3:]) > 2  # unthrottled after the update
+
+
+def test_reseed_alone_recrawls(spark):
+    """ADVICE r02: a bare {"reseed": True} delta (no itag bump) must
+    re-issue seeds WITH force_update — the reference 'run' button sets
+    force_update, so already-SUCCESS seed tasks restart."""
+    docs = synth_documents(spark, total=TOTAL, show=4, hosts=HOSTS).cache()
+    docs.count()
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=3)
+
+    plain = crawl(spark, seeds, docs, mk_cfg(), robots=None, max_rounds=30)
+    waves = []
+    updated = crawl(
+        spark, seeds, docs, mk_cfg(), robots=None, max_rounds=30,
+        project_updates={12: {"bench": {"reseed": True}}},
+        on_round=lambda o: waves.append(sum(o.selected_counts.values())),
+    )
+    docs.unpersist()
+    # only the seeds themselves restart (follows of a force_update seed
+    # carry no force_update and stay deduped) — but the delta must not be
+    # a silent no-op
+    assert updated.selected_total > plain.selected_total
+    assert sum(waves[12:]) >= 3  # the 3 re-issued seeds were re-fetched

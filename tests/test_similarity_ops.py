@@ -131,3 +131,43 @@ def test_near_dup_uses_no_window(spark):
     df = _vec_df(spark, np.random.RandomState(1).randn(5, 8).astype("float32"))
     plan = embedding_near_dup_pairs(df, dims=8)._jdf.queryExecution().toString()
     assert "Window" not in plan
+
+
+def test_ann_index_param_mismatch_raises(spark, tmp_path):
+    """ADVICE r02: querying a prebuilt index with different
+    n_planes/n_tables/seed must fail loudly, not silently probe wrong
+    buckets at low recall."""
+    import pytest
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 16).astype("float32")
+    query = [float(x) for x in rng.randn(16)]
+    idx_path = str(tmp_path / "ann_index_params")
+    build_ann_index(
+        _vec_df(spark, vecs), dims=16, n_planes=10, n_tables=4, seed=7
+    ).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    with pytest.raises(ValueError, match="params"):
+        ann_topk_lsh(index, query, k=5, n_planes=12, n_tables=4, seed=7, index=index)
+    with pytest.raises(ValueError, match="params"):
+        ann_topk_lsh(index, query, k=5, n_planes=10, n_tables=4, seed=42, index=index)
+    # matching params still work
+    assert ann_topk_lsh(
+        index, query, k=5, n_planes=10, n_tables=4, seed=7, index=index
+    ).count() == 5
+
+
+def test_ivf_index_param_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from pyspider_spark.functions.similarity import ann_topk_ivf, build_ivf_index
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(50, 16).astype("float32")
+    query = [float(x) for x in rng.randn(16)]
+    idx_path = str(tmp_path / "ivf_params")
+    build_ivf_index(_vec_df(spark, vecs), dims=16, n_cells=8, seed=7).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    with pytest.raises(ValueError, match="params"):
+        ann_topk_ivf(index, query, k=5, n_cells=16, seed=7, index=index)
+    assert ann_topk_ivf(index, query, k=5, n_cells=8, seed=7, index=index).count() == 5

@@ -31,3 +31,17 @@ def test_read_log_before_any_commit_is_empty(spark, tmp_path):
     got = store.read_log("metrics")
     assert got.count() == 0
     assert got.columns == ["id", "v"]
+
+
+def test_legacy_plain_appends_survive_round_mode(spark, tmp_path):
+    """ADVICE r02: a store that mixed plain append() with per-round
+    appends must not silently lose the earlier top-level rows once any
+    round_* directory exists."""
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    store.append(df, "results")  # legacy: top-level part files
+    store.append(df, "results", round_no=0)
+    store.commit_round(0, budget_state={})
+
+    assert store.read_log("results").count() == 4  # legacy 2 + round-0 2
