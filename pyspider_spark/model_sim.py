@@ -59,6 +59,11 @@ class SimTask:
     seq: int = 0
     lease_until: float | None = None
     lastcrawltime: float | None = None
+    # last-upsert round + fetch code, mirroring the engine's round_no stamp
+    # (route_candidates / apply_outcomes) and track.fetch.status_code — so
+    # the sim's final frontier can oracle the flagship projection exactly
+    round_no: int = 0
+    status_code: int | None = None
 
 
 @dataclass
@@ -137,13 +142,15 @@ class ReferenceSim:
         ordered = sorted(canon, key=lambda t: (-t[1], t[0]))
         now = self.cfg.start_time
         for i, (url, priority, exetime) in enumerate(ordered, start=1):
-            self._on_request(Candidate(url=url, priority=priority, exetime=exetime, seq=i), now)
+            self._on_request(
+                Candidate(url=url, priority=priority, exetime=exetime, seq=i), now, 0
+            )
 
     # -- request routing (scheduler.on_request / task_queue.put) -------------
     def _queued(self, t: SimTask) -> bool:
         return t.status in (ACTIVE, LEASED)
 
-    def _on_request(self, c: Candidate, now: float) -> None:
+    def _on_request(self, c: Candidate, now: float, round_no: int = 0) -> None:
         if self.cfg.inqueue_limit:
             qsize = sum(1 for t in self.tasks.values() if self._queued(t))
             if qsize >= self.cfg.inqueue_limit:
@@ -156,7 +163,7 @@ class ReferenceSim:
                 taskid=taskid, url=c.url, host=host_of(c.url), priority=c.priority,
                 retries=c.retries, exetime=routed_exe, age=c.age, itag=c.itag,
                 force_update=c.force_update, auto_recrawl=c.auto_recrawl,
-                status=ACTIVE, seq=c.seq,
+                status=ACTIVE, seq=c.seq, round_no=round_no,
             )
             return
         # old exists
@@ -174,6 +181,7 @@ class ReferenceSim:
             return
         if c.cancel:
             old.status = BAD
+            old.round_no = round_no
             return
         routed_exe = c.exetime if c.exetime > now else 0.0
         if self._queued(old):  # merge-on-put: max prio, min exetime, old seq
@@ -189,6 +197,7 @@ class ReferenceSim:
             old.retried = 0
             old.status = ACTIVE
         old.lease_until = None
+        old.round_no = round_no
 
     # -- one round ------------------------------------------------------------
     def run_round(self, round_no: int, extra_candidates: list[Candidate] | None = None) -> list[str]:
@@ -240,6 +249,9 @@ class ReferenceSim:
                 self.robots_deny_prefix
             )
             ok = spans is not None and not denied
+            # mirror simulated_fetch's code + the engine's round stamp
+            t.status_code = 403 if denied else (200 if spans is not None else 404)
+            t.round_no = round_no
             if ok:
                 self._on_done(t, now)
                 for kind, text, media_ref, offset in spans:
@@ -273,7 +285,7 @@ class ReferenceSim:
                 order[tid] = c.seq
         for tid, c in batch.items():
             c.seq = order[tid]
-            self._on_request(c, now)
+            self._on_request(c, now, round_no)
         return picked
 
     def _on_done(self, t: SimTask, now: float) -> None:

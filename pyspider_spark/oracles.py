@@ -292,3 +292,142 @@ def simhash_pairs_sql(
         WHERE a.doc < b.doc
           AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# Flagship crawl + multimodal oracles.
+#
+# The flagship crawl is not SQL-expressible, but its expected final frontier
+# IS independently computable: the corpus graph is a deterministic function
+# of documents.parquet (pure-Python XXH64 recomputes Spark's xxhash64 host/
+# link assignments without a Spark session), and ReferenceSim transcribes
+# the reference scheduler's semantics (task_queue.py / scheduler.py) in
+# plain Python. Sim output -> a VALUES-literal DuckDB query = a real
+# independent oracle for the driver gate (VERDICT r02 item 2).
+# ---------------------------------------------------------------------------
+
+
+def _page_host_py(i: int, hosts: int, seed: int) -> int:
+    """Pure-Python mirror of synth._page_host (Spark xxhash64 semantics)."""
+    from pyspider_spark.functions.xxh64 import pmod, xxh64_signed
+
+    if hosts <= 1:
+        return 0
+    if pmod(xxh64_signed(f"hot{seed}-{i}"), 100) < 50:
+        return 0
+    return pmod(xxh64_signed(f"h{seed}-{i}"), max(hosts - 1, 1)) + 1
+
+
+def _page_url_py(i: int, h: int) -> str:
+    return f"http://site{h}.test/page?n={i}"
+
+
+def _doc_ids(sf_dir: str) -> list[int]:
+    import pyarrow.parquet as pq
+
+    return sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+
+
+def flagship_graph(
+    sf_dir: str, show: int = 5, hosts: int = 4, seed: int = 42, n_seeds: int = 8,
+):
+    """Rebuild interleave_from_testdata's link graph + synth_seeds' seed
+    list in pure Python: corpus {url: [(kind, text, media_ref, offset)]}
+    and seeds [(url, priority, exetime)]."""
+    from pyspider_spark.functions.xxh64 import pmod, xxh64_signed
+
+    ids = _doc_ids(sf_dir)
+    total = len(ids)
+    corpus: dict[str, list[tuple]] = {}
+    for i in ids:
+        url = _page_url_py(i, _page_host_py(i, hosts, seed))
+        spans = []
+        for k in range(show):
+            t = pmod(xxh64_signed(f"{i}-{k}-{seed}"), total)
+            href = _page_url_py(t, _page_host_py(t, hosts, seed))
+            spans.append(("link", href, None, 2 + k * 2))
+        corpus[url] = spans
+    stride = max(total // max(n_seeds, 1), 1)
+    seeds = []
+    for j in range(n_seeds):
+        pid = (j * stride) % total
+        seeds.append((_page_url_py(pid, _page_host_py(pid, hosts, seed)), j % 3, 0.0))
+    return corpus, seeds
+
+
+def crawl_flagship_sql(
+    sf_dir: str, max_rounds: int = 3, loop_limit: int = 100_000,
+    show: int = 5, hosts: int = 4, seed: int = 42, n_seeds: int = 8,
+) -> str:
+    """Expected flagship frontier after ``max_rounds`` rounds, as a VALUES
+    literal. Columns mirror __spark_entry__.crawl_flagship's projection:
+    (taskid, url, host, status, priority, status_code, round_no)."""
+    from pyspider_spark.model_sim import ReferenceSim, SimConfig
+
+    corpus, seeds = flagship_graph(sf_dir, show, hosts, seed, n_seeds)
+    sim = ReferenceSim(
+        corpus,
+        SimConfig(rate=1e9, burst=1e9, loop_limit=loop_limit, robots_enabled=False),
+    )
+    sim.seed(seeds)
+    for r in range(max_rounds):
+        sim.run_round(r)
+    rows = []
+    for t in sim.tasks.values():
+        sc = "CAST(NULL AS INTEGER)" if t.status_code is None else str(t.status_code)
+        rows.append(
+            f"('{t.taskid}', '{t.url}', '{t.host}', {t.status}, "
+            f"{t.priority}, {sc}, {t.round_no})"
+        )
+    values = ",\n            ".join(rows)
+    return f"""
+        SELECT taskid, url, host,
+               CAST(status AS INTEGER) AS status,
+               CAST(priority AS INTEGER) AS priority,
+               CAST(status_code AS INTEGER) AS status_code,
+               CAST(round_no AS INTEGER) AS round_no
+        FROM (VALUES
+            {values}
+        ) AS t(taskid, url, host, status, priority, status_code, round_no)
+    """
+
+
+def multimodal_sql(sf_dir: str, hosts: int = 4, seed: int = 42) -> str:
+    """Oracle for the deterministic multimodal columns (media_ref, bytes,
+    phash): the ref list comes from the same pure-Python graph, while the
+    payload synthesis (sha256 stream) and phash (md5 of the payload's hex)
+    are recomputed INSIDE DuckDB — functions.multimodal hashes the hex
+    encoding precisely so both engines can run the whole computation."""
+    ids = _doc_ids(sf_dir)
+    refs = ",\n            ".join(
+        f"('media://img/{_page_url_py(i, _page_host_py(i, hosts, seed))}')" for i in ids
+    )
+    return f"""
+        WITH refs(media_ref) AS (VALUES
+            {refs}
+        ),
+        s AS (
+            SELECT media_ref, lower(sha256(media_ref)) AS hx,
+                   256 + CAST(('0x' || substr(sha256(media_ref), 1, 2)) AS INTEGER) * 16 AS size
+            FROM refs
+        ),
+        p AS (
+            SELECT media_ref, size,
+                   substr(repeat(hx, CAST(size // 32 + 1 AS INTEGER)), 1, 2 * size) AS payload_hex
+            FROM s
+        ),
+        m AS (
+            SELECT media_ref, size,
+                   CAST(('0x' || substr(md5(payload_hex), 1, 16)) AS UBIGINT) AS u
+            FROM p
+        )
+        SELECT media_ref, CAST(size AS INTEGER) AS bytes,
+               CAST(CAST(u AS HUGEINT)
+                    - CASE WHEN u >= 9223372036854775808::UBIGINT
+                           THEN 18446744073709551616::HUGEINT
+                           ELSE 0::HUGEINT END AS BIGINT) AS phash
+        FROM m
+    """

@@ -222,9 +222,15 @@ def interleave_from_testdata(spark: SparkSession, sf_dir: str, show: int = 5,
     text spans, link spans are hash-derived over the table's own id space.
     Used by ``entry()`` so the flagship query is anchored to /root/testdata
     while keeping the input_hint shape."""
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # rename the id up-front: the output column is ALSO named doc_id (the
+    # url), and Spark's lateral-column-alias resolution would otherwise bind
+    # F.col("doc_id") inside the spans expression to the aliased URL STRING,
+    # silently hashing link targets off the url instead of the numeric id
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("_did"), "text"
+    )
     total = flat.count()
-    i = F.col("doc_id")
+    i = F.col("_did")
     h = _page_host(i, hosts, seed)
 
     def link_target(k: Column) -> Column:
