@@ -5,7 +5,15 @@ analogue — known link-graph size, dedup converges the crawl).
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "crawl": {...}}
+   "queries": {...per-query MEDIAN sec...}, "spread": {...[min,max]...},
+   "sf": ..., "crawl": {...}}
+
+Measurement hygiene (this box's wall-time noise is 2-3x run-to-run): each
+query gets one uncounted warm-up run, then SPARK_GRAFT_BENCH_TRIALS (default
+3) timed runs with cache clearing between; the reported figure is the
+median, with [min, max] spread alongside so BENCH_rN files are comparable
+across rounds without a judge re-run. The crawl bench is median-of-trials
+too (no extra warm-up: a multi-round crawl self-warms on round 0).
 """
 
 from __future__ import annotations
@@ -22,6 +30,7 @@ from pyspider_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
 # headline relational + training-data queries (subset of queries())
 HEADLINE = [
@@ -51,18 +60,32 @@ def force(df) -> int:
     return 0
 
 
-def bench_queries(spark) -> dict[str, float]:
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
+        # warm-up (uncounted): JIT, python-worker spin-up, page cache
         force(qs[name](spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
-        # measurement hygiene: drop caches a query persisted internally
-        # (e.g. minhash's shingle cache) so queries don't contaminate
-        # each other's memory budget
         spark.catalog.clearCache()
-    return times
+        trials = []
+        for _ in range(TRIALS):
+            t0 = time.time()
+            force(qs[name](spark, SF_DIR))
+            trials.append(time.time() - t0)
+            # measurement hygiene: drop caches a query persisted internally
+            # (e.g. minhash's shingle cache) so queries don't contaminate
+            # each other's memory budget
+            spark.catalog.clearCache()
+        times[name] = round(_median(trials), 3)
+        spread[name] = [round(min(trials), 3), round(max(trials), 3)]
+    return times, spread
 
 
 def bench_crawl(spark, total: int) -> dict:
@@ -110,20 +133,28 @@ def main() -> None:
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     sf = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(sf_name, 0.1)
 
-    times = bench_queries(spark)
-    crawl_stats = bench_crawl(spark, CRAWL_TOTALS.get(sf_name, 20000))
+    times, spread = bench_queries(spark)
+    crawl_trials = [
+        bench_crawl(spark, CRAWL_TOTALS.get(sf_name, 20000)) for _ in range(TRIALS)
+    ]
+    crawl_trials.sort(key=lambda c: c["sec"])
+    crawl_stats = crawl_trials[len(crawl_trials) // 2]  # median trial by sec
     times["crawl_bench"] = crawl_stats["sec"]
+    spread["crawl_bench"] = [crawl_trials[0]["sec"], crawl_trials[-1]["sec"]]
 
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline queries + crawl-to-exhaustion wall time",
+                "metric": "headline queries + crawl-to-exhaustion wall time"
+                f" (median of {TRIALS}, warmed)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
                 "cpus": CPUS,
+                "trials": TRIALS,
                 "crawl": crawl_stats,
             }
         )

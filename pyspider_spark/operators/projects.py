@@ -137,6 +137,18 @@ class ProjectsState:
             rt.recent.appendleft(ok)
             rt.outcomes_seen += 1
 
+    def record_outcomes_newest(
+        self, project: str, newest_first: list[bool], total_n: int
+    ) -> None:
+        """Distributed-feed variant: the round's stats job pre-truncates to
+        the newest 100 outcomes (newest first — all the deque can retain)
+        and carries the full count separately. Equivalent to
+        record_outcomes over the complete pick-order list."""
+        rt = self.ensure(project)
+        for ok in reversed(newest_first):  # oldest-of-the-fresh first
+            rt.recent.appendleft(bool(ok))
+        rt.outcomes_seen += int(total_n)
+
     def is_paused(self, project: str, now: float) -> bool:
         rt = self.ensure(project)
         if FAIL_PAUSE_NUM <= 0:

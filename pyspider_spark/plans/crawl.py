@@ -213,18 +213,12 @@ def _loop(
             store.commit_round(out.state.round_no - 1, state.budget.to_dict())
 
         if config.pause_fsm:
-            # F18 feed: this round's completed outcomes, pick order
-            rows = (
-                out.processed.select("project", "wave_rank", "process_ok")
-                .orderBy("project", "wave_rank")
-                .collect()
-            )
-            by_proj: dict[str, list[bool]] = {}
-            for r in rows:
-                by_proj.setdefault(r["project"], []).append(bool(r["process_ok"]))
+            # F18 feed: per-project newest-100 outcomes + counts came back
+            # with the round's single stats job — O(#projects) driver state,
+            # never an O(wave) collect
             rt = out.state.runtime()
-            for p, oks in by_proj.items():
-                rt.record_outcomes(p, oks)
+            for p, (n, newest_first) in (out.fsm_outcomes or {}).items():
+                rt.record_outcomes_newest(p, newest_first, n)
 
         if config.events:
             # F16 cronjob ticks → synthetic wave (bypasses the frontier,

@@ -95,6 +95,9 @@ class RoundOutput:
     postponed_count: int = 0
     routed_count: int = 0  # frontier rows inserted/updated this round
     fin_picks: dict[str, int] | None = None  # events mode: 'on_finished' selects
+    # pause_fsm mode: {project: (total outcomes, newest-100 in newest-first
+    # order)} from the round's single stats job — the F18 feed
+    fsm_outcomes: dict[str, tuple[int, list[bool]]] | None = None
 
     def unpersist(self) -> None:
         self.wave.unpersist()
@@ -264,7 +267,10 @@ def run_round(
             if sum_col is None
             else df.groupBy("project").agg(F.sum(sum_col).cast("long").alias("n"))
         )
-        return agg.select(F.lit(tag).alias("tag"), "project", "n")
+        return agg.select(
+            F.lit(tag).alias("tag"), "project", "n",
+            F.lit(None).cast("array<boolean>").alias("outcomes"),
+        )
 
     stats_parts = [
         _tag(wave, "selected"),
@@ -277,12 +283,38 @@ def run_round(
     ]
     if config.events:
         stats_parts.append(_tag(wave.where(F.col("taskid") == "on_finished"), "fin_picks"))
+    if config.pause_fsm:
+        # F18 feed, distributed: the FSM only ever inspects the newest
+        # FAIL_PAUSE_NUM..100 outcomes per project (deque maxlen=100) plus
+        # the total count — aggregate last-100-in-pick-order per project
+        # instead of collecting O(wave) rows to the driver
+        fsm = processed.groupBy("project").agg(
+            F.count("*").cast("long").alias("n"),
+            F.slice(
+                F.reverse(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("wave_rank"), F.col("process_ok").alias("ok"))
+                            )
+                        ),
+                        lambda s: s.ok,
+                    )
+                ),
+                1, 100,
+            ).alias("outcomes"),
+        ).select(F.lit("fsm").alias("tag"), "project", "n", "outcomes")
+        stats_parts.append(fsm)
     stats_df = stats_parts[0]
     for part in stats_parts[1:]:
         stats_df = stats_df.unionByName(part)
     stats: dict[str, dict[str, int]] = {}
+    fsm_outcomes: dict[str, tuple[int, list[bool]]] = {}
     for r in stats_df.collect():
-        stats.setdefault(r["tag"], {})[r["project"]] = int(r["n"])
+        if r["tag"] == "fsm":
+            fsm_outcomes[r["project"]] = (int(r["n"]), list(r["outcomes"] or []))
+        else:
+            stats.setdefault(r["tag"], {})[r["project"]] = int(r["n"])
 
     selected_counts = stats.get("selected", {})
     politeness.consume(state.budget, selected_counts)
@@ -322,4 +354,5 @@ def run_round(
         routed_count=sum(stats.get("inserted", {}).values())
         + sum(stats.get("updated", {}).values()),
         fin_picks=stats.get("fin_picks") if config.events else None,
+        fsm_outcomes=fsm_outcomes if config.pause_fsm else None,
     )

@@ -111,3 +111,62 @@ def test_crawl_round_driver_action_budget(spark, monkeypatch):
     assert r <= calls["collect"] <= r + 1, calls
     assert calls["localCheckpoint"] <= r, calls
     assert calls["count"] == 0 and calls["toPandas"] == 0, calls
+
+
+def test_crawl_round_driver_action_budget_pause_fsm(spark, monkeypatch):
+    """VERDICT r02 item 6: pause_fsm=True must fit the SAME 1-collect
+    budget — the F18 outcome feed rides the round's single stats job
+    (distributed last-100 aggregate), not an O(wave) collect."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from pyspider_spark.plans.crawl import crawl
+    from pyspider_spark.plans.round import RoundConfig
+    from pyspider_spark.synth import synth_documents, synth_seeds
+
+    docs = synth_documents(spark, total=40, show=4, hosts=2).cache()
+    docs.count()
+    seeds = synth_seeds(spark, total=40, hosts=2, n_seeds=3)
+    cfg = RoundConfig(
+        projects={"bench": {"rate": 1e9, "burst": 1e9}}, loop_limit=10000,
+        pause_fsm=True,
+    )
+
+    calls = {"collect": 0, "count": 0, "localCheckpoint": 0, "toPandas": 0}
+    for name in list(calls):
+        orig = getattr(DataFrame, name)
+
+        def wrapper(self, *a, _n=name, _o=orig, **kw):
+            calls[_n] += 1
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, wrapper)
+
+    report = crawl(spark, seeds, docs, cfg, robots=None, max_rounds=20,
+                   collect_results=False)
+    docs.unpersist()
+    r = report.rounds
+    assert r <= calls["collect"] <= r + 1, calls
+    assert calls["localCheckpoint"] <= r, calls
+    assert calls["count"] == 0 and calls["toPandas"] == 0, calls
+    assert report.selected_total > 0
+
+
+def test_robots_gate_no_wave_shuffle(spark):
+    """VERDICT r02 item 7: the robots gate must not introduce a shuffle or
+    re-aggregation of the wave — rules broadcast as per-host arrays, the
+    longest-prefix pick is a pure row expression."""
+    from pyspider_spark.operators.fetch import robots_gate
+    from pyspider_spark.synth import synth_robots
+    from pyspider_spark.types import FRONTIER_SCHEMA
+
+    wave = spark.createDataFrame([], FRONTIER_SCHEMA).withColumn(
+        "wave_rank", F.lit(1)
+    )
+    gated = robots_gate(wave, synth_robots(spark, hosts=4))
+    plan = plan_of(gated)
+    # only the rules side may exchange (its own tiny agg + broadcast);
+    # the wave side must see no hash-partition exchange and no aggregate
+    # over the wave's own columns
+    wave_plan_ops = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in wave_plan_ops, plan
+    assert "BroadcastHashJoin" in plan
