@@ -91,6 +91,8 @@ def extract_links(
             F.lit(None).cast("int").alias("timeout"),
             F.lit(None).cast("string").alias("save"),
             F.lit(True).alias("robots_txt"),
+            F.lit(None).cast("string").alias("proxy"),
+            F.lit(None).cast("boolean").alias("use_gzip"),
         ).alias("fetch"),
         F.struct(F.lit("index_page").alias("callback")).alias("process"),
         make_seq(F.lit(round_no), F.col("wave_rank"), F.col("offset")).alias("seq"),

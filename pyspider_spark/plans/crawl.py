@@ -15,8 +15,16 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# per-round lineage-truncation checkpoints store SERIALIZED (+lz4, via
+# spark.rdd.compress) instead of deserialized JVM objects (the
+# localCheckpoint default is MEMORY_AND_DISK_DESER): the frontier
+# checkpoint is pure cache traffic, and memory bandwidth — not CPU — is
+# the measured single-box bottleneck (BENCH/BASELINE.md §3b)
+CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # (useDisk, useMemory, serialized)
 
 from pyspider_spark.operators import politeness
 from pyspider_spark.operators.frontier import (
@@ -176,7 +184,7 @@ def _loop(
             store.write_frontier(out.state.frontier, out.state.round_no - 1)
             new_frontier = store.read_frontier(out.state.round_no - 1)
         else:
-            new_frontier = out.state.frontier.localCheckpoint(eager=True)
+            new_frontier = out.state.frontier.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         out.state.frontier = new_frontier
         if bloom is not None:
             # fold this round's (possibly) new taskids into the URL-seen set;
@@ -192,7 +200,7 @@ def _loop(
 
         results_total += out.results_count  # counted by the round stats job
         if collect_results:
-            round_results = out.results.localCheckpoint(eager=True)
+            round_results = out.results.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
             all_results = (
                 round_results
                 if all_results is None

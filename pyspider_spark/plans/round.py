@@ -57,6 +57,11 @@ class RoundConfig:
     events: bool = False  # F16 cronjob ticks + F17 on_finished injection
     conditional_get: bool = False  # X4: 304 short-circuit on unchanged recrawls
     max_redirects: int = 5  # X2 hop budget
+    # X1: 'simulated' joins the documents corpus; 'real' runs the
+    # mapInPandas HTTP kernel (operators/fetch_real) — everything
+    # downstream of FETCHED_COLS is shared between the modes
+    fetch_mode: str = "simulated"
+    fetch_threads: int = 16  # per-partition HTTP concurrency in real mode
 
     def clock(self, round_no: int) -> float:
         return self.start_time + round_no * self.round_interval
@@ -163,7 +168,13 @@ def run_round(
 
     # X5 → X2 → X1/X7/X8 → X4 → P1/P7
     gated = robots_gate(wave_all, robots)
-    if redirects is not None:
+    if config.fetch_mode == "real":
+        from pyspider_spark.operators.fetch_real import real_fetch_stage
+
+        # real HTTP follows its own redirects (final URL recorded); the
+        # simulated redirect table only applies to simulated mode
+        fetched = real_fetch_stage(gated, max_threads=config.fetch_threads)
+    elif redirects is not None:
         gated = resolve_redirects(gated, redirects, config.max_redirects)
         fetched = simulated_fetch(gated, documents, now, url_col="resolved_url")
     else:

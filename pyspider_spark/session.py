@@ -34,6 +34,11 @@ BASE_CONFS: dict[str, str] = {
     # this would be tuned with spark.sql.files.maxPartitionBytes=256m.
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Serialized RDD blocks (the per-round frontier checkpoint) compress
+    # with lz4: single-socket memory BANDWIDTH is the measured binding
+    # resource at corpus-scale waves (BENCH/BASELINE.md §3b) — fewer bytes
+    # through the cache beats the extra lz4 CPU at 32 threads.
+    "spark.rdd.compress": "true",
 }
 
 

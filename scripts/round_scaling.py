@@ -55,7 +55,8 @@ t0 = time.time()
 out = run_round(state, docs, cfg)           # the round's single stats job
 t_stats = time.time() - t0
 t0 = time.time()
-out.state.frontier.localCheckpoint(eager=True)  # the round's checkpoint
+from pyspider_spark.plans.crawl import CKPT_LEVEL
+out.state.frontier.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)  # the round's checkpoint
 t_ckpt = time.time() - t0
 print(json.dumps({{"cores": cores, "wave": sum(out.selected_counts.values()),
                    "stats_sec": round(t_stats, 1), "ckpt_sec": round(t_ckpt, 1),
@@ -75,7 +76,7 @@ def run_at(cores: int, total: int) -> dict:
 
 def main() -> None:
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    orders = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "32,8,32,8").split(",")]
+    orders = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "32,8,32,8,32,8").split(",")]
     runs: dict[int, list[dict]] = {}
     for c in orders:
         r = run_at(c, total)
