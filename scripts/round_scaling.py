@@ -68,7 +68,7 @@ spark.stop()
 def run_at(cores: int, total: int) -> dict:
     code = RUNNER.format(repo=str(REPO), cores=cores, total=total)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=5400
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
