@@ -4,9 +4,11 @@
 SURVEY.md §2 (frontier/scheduling semantics mapped onto the driver's
 TPC-H-ish tables per FIXTURES.md §8, plus the training-data extras:
 dedup / text analysis / similarity / multimodal). ``oracle_sql()`` gives
-the DuckDB-equivalent SQL for every SQL-expressible query; genuinely
-non-SQL ops (crawl rounds with xxhash-derived corpora, minhash/simhash,
-LSH ANN, Arrow multimodal plumbing) are rows-only by design.
+a DuckDB oracle for EVERY query — zero rows-only entries: hash-keyed
+pipelines (minhash/simhash/LSH/IVF) via engine-portable md5-slice
+hashing, the flagship crawl via a pure-Python XXH64 graph rebuild +
+ReferenceSim replay emitted as a VALUES literal, and the multimodal
+stubs recomputed end-to-end inside DuckDB.
 """
 
 from __future__ import annotations
@@ -236,6 +238,23 @@ def q_r1_result_latest(spark, sf):
     )
 
 
+def q_r2_select_page(spark, sf):
+    """R2: paginated result select via the REAL results.select_results
+    (latest-wins dedup + rank-slice page) — events as the result log:
+    taskid=user, updatetime=event_id (unique ⇒ deterministic ties)."""
+    from pyspider_spark.operators.results import select_results
+
+    log = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("taskid"),
+        F.col("event_type").alias("project"),
+        F.concat(F.lit("u://"), F.col("user_id").cast("string")).alias("url"),
+        F.lit("{}").alias("result"),
+        F.col("event_id").cast("double").alias("updatetime"),
+    )
+    page = select_results(log, "click", offset=20, limit=20)
+    return page.select("project", "taskid", "url", "updatetime")
+
+
 def q_r5_active_topk(spark, sf):
     """R5: active-task view = global top-k by recency."""
     return (
@@ -392,16 +411,14 @@ def q_embedding_near_dup(spark, sf):
     return pairs.select("doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-def q_multimodal_features(spark, sf):
-    """Multimodal plumbing: media spans → binary payloads → Arrow-batched
-    feature extraction (rows-only; decode is a deterministic stub)."""
-    from pyspider_spark.functions.multimodal import decode_stub_features, synth_media_table
+def _media_table(spark, sf):
+    """Media payload table derived from the interleaved corpus (one media
+    ref per doc) — shared by the multimodal feature + frame queries."""
+    from pyspider_spark.functions.multimodal import synth_media_table
     from pyspider_spark.synth import interleave_from_testdata
 
     docs = interleave_from_testdata(spark, sf, show=5, hosts=4)
-    # media spans come from the synthetic corpus shape: attach one media
-    # ref per 3rd doc (same rule as synth_documents)
-    media = synth_media_table(
+    return synth_media_table(
         docs.withColumn(
             "spans",
             F.array(
@@ -414,11 +431,29 @@ def q_multimodal_features(spark, sf):
             ),
         )
     )
-    feats = decode_stub_features(media)
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: media spans → binary payloads → Arrow-batched
+    feature extraction (deterministic stub decode; fully oracled)."""
+    from pyspider_spark.functions.multimodal import decode_stub_features
+
+    feats = decode_stub_features(_media_table(spark, sf))
     # project the engine-portable deterministic columns (the float feature
     # vector is computed by the same Arrow stage but is float32-mean math a
     # SQL oracle can't mirror bit-exactly — pytest covers it instead)
     return feats.select("media_ref", "bytes", "phash")
+
+
+def q_multimodal_frames(spark, sf):
+    """Multimodal frame sampling (one row per sampled 'frame' byte) —
+    exercises the explode-side mapInPandas plumbing; fully oracled (the
+    oracle recomputes the payload stream + stride inside DuckDB)."""
+    from pyspider_spark.functions.multimodal import frame_sample
+
+    # stride 63 is coprime with the 32-byte repeating payload stream, so
+    # sampled frames actually walk the payload (64 would alias to byte 0)
+    return frame_sample(_media_table(spark, sf), every_n_bytes=63)
 
 
 def q_crawl_flagship(spark, sf):
@@ -440,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f20_config_join": q_f20_config_join,
         "f23_status_counts": q_f23_status_counts,
         "r1_result_latest": q_r1_result_latest,
+        "r2_select_page": q_r2_select_page,
         "r5_active_topk": q_r5_active_topk,
         "m2_windowed_counters": q_m2_windowed_counters,
         "filter_pushdown": q_filter_pushdown,
@@ -455,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -470,6 +507,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_flagship": oracles.crawl_flagship_sql(oracle_sf, max_rounds=3),
         "multimodal_features": oracles.multimodal_sql(oracle_sf),
+        "multimodal_frames": oracles.multimodal_frames_sql(oracle_sf, every_n_bytes=63),
+        "r2_select_page": """
+            WITH log AS (
+                SELECT CAST(user_id AS VARCHAR) AS taskid,
+                       event_type AS project,
+                       'u://' || CAST(user_id AS VARCHAR) AS url,
+                       CAST(event_id AS DOUBLE) AS updatetime
+                FROM events WHERE event_type = 'click'
+            ),
+            latest AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY project, taskid ORDER BY updatetime DESC
+                    ) AS rn FROM log
+                ) WHERE rn = 1
+            ),
+            page AS (
+                SELECT project, taskid, url, updatetime,
+                       ROW_NUMBER() OVER (ORDER BY updatetime DESC, taskid ASC) AS rn2
+                FROM latest
+            )
+            SELECT project, taskid, url, updatetime
+            FROM page WHERE rn2 > 20 AND rn2 <= 40
+        """,
         "dedup_minhash": oracles.minhash_pairs_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
         ),

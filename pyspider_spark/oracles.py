@@ -431,3 +431,40 @@ def multimodal_sql(sf_dir: str, hosts: int = 4, seed: int = 42) -> str:
                            ELSE 0::HUGEINT END AS BIGINT) AS phash
         FROM m
     """
+
+
+def multimodal_frames_sql(sf_dir: str, every_n_bytes: int = 64,
+                          hosts: int = 4, seed: int = 42) -> str:
+    """Oracle for functions.multimodal.frame_sample: every Nth byte of the
+    synthetic payload, recomputed in DuckDB over the hex stream (byte i
+    lives at hex offset 2i; frame count = ceil(size / N))."""
+    ids = _doc_ids(sf_dir)
+    refs = ",\n            ".join(
+        f"('media://img/{_page_url_py(i, _page_host_py(i, hosts, seed))}')" for i in ids
+    )
+    stride = int(every_n_bytes)
+    return f"""
+        WITH refs(media_ref) AS (VALUES
+            {refs}
+        ),
+        s AS (
+            SELECT media_ref, lower(sha256(media_ref)) AS hx,
+                   256 + CAST(('0x' || substr(sha256(media_ref), 1, 2)) AS INTEGER) * 16 AS size
+            FROM refs
+        ),
+        p AS (
+            SELECT media_ref, size,
+                   substr(repeat(hx, CAST(size // 32 + 1 AS INTEGER)), 1, 2 * size) AS payload_hex
+            FROM s
+        )
+        , f AS (
+            SELECT media_ref, payload_hex,
+                   unnest(range(0, CAST((size + {stride} - 1) // {stride} AS BIGINT))) AS i
+            FROM p
+        )
+        SELECT media_ref,
+               CAST(i AS INTEGER) AS frame_no,
+               CAST(('0x' || substr(payload_hex, CAST(2 * {stride} * i + 1 AS INTEGER), 2))
+                    AS INTEGER) AS frame_byte
+        FROM f
+    """
