@@ -38,13 +38,20 @@ def select_results(
     results: DataFrame, project: str, fields: list[str] | None = None,
     offset: int = 0, limit: int = 20,
 ) -> DataFrame:
-    """R2: select w/ pagination (offset implemented as rank-slice; the
-    reference pages by updatetime order — resultdb.py:29-35)."""
+    """R2: select w/ pagination (the reference pages by updatetime order —
+    resultdb.py:29-35). Scale shape: a distributed top-(offset+limit)
+    first (orderBy+limit compiles to TakeOrderedAndProject — no global
+    sort), THEN the rank-slice window over only those <= offset+limit
+    rows — the global window never sees the full result set."""
     w = Window.orderBy(F.desc("updatetime"), F.asc("taskid"))
-    df = (
+    top = (
         latest_results(results.where(F.col("project") == project))
-        .withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .orderBy(F.desc("updatetime"), F.asc("taskid"))
+        .limit(offset + limit)
+    )
+    df = (
+        top.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > offset)
         .drop("_rn")
     )
     return df.select(*fields) if fields else df
