@@ -72,6 +72,14 @@ def _fetch_one(
     import urllib.parse
     import urllib.request
 
+    # nullable columns can surface as float NaN through pandas batches —
+    # normalize every optional scalar before branching on it
+    def _s(v):
+        return v if isinstance(v, str) else None
+
+    method, data, proxy = _s(method), _s(data), _s(proxy)
+    use_gzip = bool(use_gzip) if use_gzip == use_gzip and use_gzip is not None else False
+
     out = {
         "status_code": None, "content": None, "content_type": None,
         "fetch_error": None, "fetch_time": 0.0, "final_url": None,

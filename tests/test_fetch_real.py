@@ -206,3 +206,11 @@ def test_real_fetch_stage_contract(spark, site):
     assert row["status_code"] == 200 and row["fetch_ok"]
     kinds = [s["kind"] for s in row["content_spans"]]
     assert "link" in kinds and kinds[0] == "text"
+
+
+def test_nan_optionals_normalized(site):
+    """Nullable fetch fields can arrive as float NaN through pandas
+    batches — the kernel must treat them as unset, not crash."""
+    nan = float("nan")
+    r = _fetch_one(f"{site}/", nan, None, nan, nan, nan, nan, True)
+    assert r["status_code"] == 200 and b"home" in r["content"]
