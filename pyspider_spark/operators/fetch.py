@@ -59,7 +59,10 @@ def robots_gate(wave: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
     path = urlkit.path_of(F.col("url"))
     joined = wave.join(F.broadcast(rules), "host", "left")
-    best = F.element_at(F.filter(F.col("_rules"), lambda r: path.startswith(r.prefix)), 1)
+    # F.get (0-indexed) returns NULL when no prefix matches; element_at(.., 1)
+    # would THROW under Spark 4's default ANSI mode for any host whose rules
+    # cover none of this URL's path (e.g. only 'Disallow: /admin')
+    best = F.get(F.filter(F.col("_rules"), lambda r: path.startswith(r.prefix)), 0)
     opt_in = F.coalesce(F.col("fetch").robots_txt, F.lit(False))
     return joined.withColumn(
         "robots_allowed",

@@ -99,6 +99,24 @@ def join_crawl_config(wave: DataFrame, project_configs: dict[str, dict]) -> Data
     )
 
 
+def min_tick_of(cfg: dict) -> int:
+    """F16: a project's cronjob tick interval. The reference derives
+    ``min_tick`` as the GCD of all ``@every`` intervals declared by the
+    handler (base_handler.py:100-119: ``min_tick = gcd(min_tick, each.tick)``
+    starting from 0) so the scheduler dispatches '_on_cronjob' no more often
+    than needed. Here the project config declares the intervals as
+    ``every: [seconds, ...]``; an explicit ``min_tick`` key still wins (the
+    pre-round-4 hand-set knob, and an escape hatch)."""
+    if cfg.get("min_tick") is not None:
+        return int(cfg["min_tick"])
+    from math import gcd
+
+    tick = 0
+    for every in cfg.get("every") or []:
+        tick = gcd(tick, int(every))
+    return tick
+
+
 @dataclass
 class ProjectRuntime:
     min_tick: int = 0

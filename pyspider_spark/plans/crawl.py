@@ -237,9 +237,11 @@ def _loop(
                 synthetic_wave,
             )
 
+            from pyspider_spark.operators.projects import min_tick_of
+
             rt = out.state.runtime()
             for p, cfg_p in config.projects.items():
-                rt.ensure(p, int(cfg_p.get("min_tick", 0)))
+                rt.ensure(p, min_tick_of(cfg_p))
             now = config.clock(out.state.round_no - 1)
             cron_items = [
                 {"project": p, "taskid": "_on_cronjob", "url": "data:,_on_cronjob",

@@ -102,22 +102,48 @@ class SnapshotStore:
         ]
         # a store may have mixed plain append() (top-level part files) with
         # per-round appends (e.g. resumed under newer code) — those legacy
-        # rows are committed data and must not silently vanish
-        legacy = [
-            os.path.join(path, f) for f in os.listdir(path)
+        # rows are committed data and must not silently vanish. But ONLY the
+        # legacy files recorded by a commit are committed: a plain append()
+        # that crashed before any commit_round must stay invisible, or the
+        # exactly-once barrier weakens to at-least-once (ADVICE r03).
+        legacy = sorted(
+            f for f in os.listdir(path)
             if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
-        ]
-        keep += legacy
+        )
+        if legacy and manifest is not None and "legacy_files" in manifest:
+            committed_legacy = set(manifest["legacy_files"].get(name, []))
+            legacy = [f for f in legacy if f in committed_legacy]
+        # (manifest predates legacy tracking, or no manifest: keep them all)
+        keep += [os.path.join(path, f) for f in legacy]
         if not keep:
             return self.spark.read.parquet(os.path.join(path, rounds[0])).limit(0)
         return self.spark.read.parquet(*keep)
 
     # -- round commit ---------------------------------------------------------
+    def _legacy_inventory(self) -> dict[str, list[str]]:
+        """Top-level part files per log dir at commit time: these (and only
+        these) plain-append rows become visible to read_log. One local
+        listing per commit; at scale this is a per-table LIST bounded by
+        the number of pre-round-mode files, which never grows."""
+        inv: dict[str, list[str]] = {}
+        for name in os.listdir(self.root):
+            d = os.path.join(self.root, name)
+            if name == "frontier" or not os.path.isdir(d):
+                continue
+            files = sorted(
+                f for f in os.listdir(d)
+                if f.endswith(".parquet") and os.path.isfile(os.path.join(d, f))
+            )
+            if files:
+                inv[name] = files
+        return inv
+
     def commit_round(self, round_no: int, budget_state: dict, extra: dict | None = None) -> None:
         manifest = {
             "round_no": round_no,
             "snapshot": f"round_{round_no}",
             "budget_state": budget_state,
+            "legacy_files": self._legacy_inventory(),
             **(extra or {}),
         }
         self._commit_manifest(manifest)

@@ -11,8 +11,9 @@ from pyspider_spark.synth import synth_documents, synth_seeds
 def test_events_fire_in_crawl(spark):
     docs = synth_documents(spark, total=10, show=2, hosts=2).cache()
     seeds = synth_seeds(spark, total=10, hosts=2, n_seeds=3)
+    # min_tick derives as gcd(6, 9) = 3 from the @every intervals (F16)
     cfg = RoundConfig(
-        projects={"bench": {"rate": 1e9, "burst": 1e9, "min_tick": 3}},
+        projects={"bench": {"rate": 1e9, "burst": 1e9, "every": [6, 9]}},
         loop_limit=1000,
         events=True,
     )

@@ -72,3 +72,23 @@ def test_on_finished_after_drain_wait():
     for i in range(FAIL_PAUSE_NUM):
         assert not st.on_finished_due("p", selected=0, queue_size=0)
     assert st.on_finished_due("p", selected=0, queue_size=0)
+
+
+def test_min_tick_gcd_of_every_intervals():
+    """VERDICT r03 item 6: min_tick derives as the GCD of the project's
+    @every intervals (base_handler.py:100-119), explicit min_tick wins."""
+    from pyspider_spark.operators.projects import min_tick_of
+
+    assert min_tick_of({"every": [30, 45]}) == 15
+    assert min_tick_of({"every": [60]}) == 60
+    assert min_tick_of({"every": [7, 11]}) == 1
+    assert min_tick_of({}) == 0
+    assert min_tick_of({"every": []}) == 0
+    assert min_tick_of({"min_tick": 4, "every": [30, 45]}) == 4  # explicit wins
+
+    # dispatch times follow the derived tick like the reference's
+    # _on_cronjob cadence: multiples of gcd(30,45)=15
+    st = ProjectsState()
+    st.ensure("p", min_tick=min_tick_of({"every": [30, 45]}))
+    ticks = [t for _, t in st.cronjob_ticks(T0 + 100, T0)]
+    assert ticks == [15, 30, 45, 60, 75, 90]

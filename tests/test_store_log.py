@@ -45,3 +45,22 @@ def test_legacy_plain_appends_survive_round_mode(spark, tmp_path):
     store.commit_round(0, budget_state={})
 
     assert store.read_log("results").count() == 4  # legacy 2 + round-0 2
+
+def test_uncommitted_plain_append_stays_invisible(spark, tmp_path):
+    """ADVICE r03: a plain append() that crashed before any commit must NOT
+    leak into read_log of a round-mode store — only legacy files recorded
+    by a commit_round are committed data."""
+    store = SnapshotStore(str(tmp_path / "store"), spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    store.append(df, "results", round_no=0)
+    store.commit_round(0, budget_state={})
+    # crash window: a plain append AFTER the last commit — uncommitted
+    store.append(df, "results")
+
+    assert store.read_log("results").count() == 2  # round 0 only
+
+    # the next commit picks the plain rows up (they're part of its snapshot)
+    store.append(df, "results", round_no=1)
+    store.commit_round(1, budget_state={})
+    assert store.read_log("results").count() == 6
