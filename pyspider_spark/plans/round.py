@@ -111,6 +111,44 @@ class RoundOutput:
             df.unpersist()
 
 
+def fsm_outcome_feed(processed: DataFrame, keep: int = 100) -> DataFrame:
+    """F18 feed, distributed AND bounded (VERDICT r03 item 1): the FSM only
+    ever inspects the newest ``keep``=100 outcomes per project (deque
+    maxlen=100, scheduler.py:51-102) plus the total count. Rank-filter to
+    those 100 BEFORE collect_list, so the aggregation buffer holds ≤100
+    structs by construction — never the whole per-project wave (at a
+    1.6M-URL single-project wave the old plan array_sort'ed a multi-MB
+    array in ONE buffer). The window sort is distributed and spillable; the
+    total count rides the same window partitioning, no extra shuffle.
+
+    Returns one row per project: (tag='fsm', project, n=total outcomes,
+    outcomes=newest-``keep`` in newest-first order) — union-compatible with
+    the round's single stats job."""
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("project").orderBy(F.desc("wave_rank"))
+    w_all = Window.partitionBy("project")
+    return (
+        processed.select("project", "wave_rank", F.col("process_ok").alias("ok"))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count("*").over(w_all))
+        .where(F.col("_rn") <= keep)
+        .groupBy("project")
+        .agg(
+            F.max("_n").cast("long").alias("n"),
+            F.reverse(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("wave_rank"), F.col("ok")))
+                    ),
+                    lambda s: s.ok,
+                )
+            ).alias("outcomes"),
+        )
+        .select(F.lit("fsm").alias("tag"), "project", "n", "outcomes")
+    )
+
+
 def run_round(
     state: RoundState,
     documents: DataFrame,
@@ -295,27 +333,7 @@ def run_round(
     if config.events:
         stats_parts.append(_tag(wave.where(F.col("taskid") == "on_finished"), "fin_picks"))
     if config.pause_fsm:
-        # F18 feed, distributed: the FSM only ever inspects the newest
-        # FAIL_PAUSE_NUM..100 outcomes per project (deque maxlen=100) plus
-        # the total count — aggregate last-100-in-pick-order per project
-        # instead of collecting O(wave) rows to the driver
-        fsm = processed.groupBy("project").agg(
-            F.count("*").cast("long").alias("n"),
-            F.slice(
-                F.reverse(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(F.col("wave_rank"), F.col("process_ok").alias("ok"))
-                            )
-                        ),
-                        lambda s: s.ok,
-                    )
-                ),
-                1, 100,
-            ).alias("outcomes"),
-        ).select(F.lit("fsm").alias("tag"), "project", "n", "outcomes")
-        stats_parts.append(fsm)
+        stats_parts.append(fsm_outcome_feed(processed))
     stats_df = stats_parts[0]
     for part in stats_parts[1:]:
         stats_df = stats_df.unionByName(part)

@@ -170,3 +170,35 @@ def test_robots_gate_no_wave_shuffle(spark):
     wave_plan_ops = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in wave_plan_ops, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fsm_feed_is_rank_bounded(spark):
+    """VERDICT r03 item 1: the F18 outcome feed must rank-filter to the
+    newest 100 per project BEFORE collect_list — the aggregation buffer is
+    ≤100 structs by construction, never the whole per-project wave."""
+    from pyspider_spark.plans.round import fsm_outcome_feed
+
+    n = 250
+    processed = spark.createDataFrame(
+        [("p", i, i % 3 != 0) for i in range(1, n + 1)]
+        + [("q", i, True) for i in range(1, 6)],
+        "project string, wave_rank int, process_ok boolean",
+    )
+    feed = fsm_outcome_feed(processed)
+
+    # plan shape: the _rn <= 100 Filter sits BELOW the collect_list
+    # Aggregate (tree prints parents first, so Aggregate appears earlier)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan and "collect_list" in plan, plan
+    filt = re.search(r"Filter.*_rn.* <= 100", plan)
+    agg = re.search(r"Aggregate.*collect_list", plan)
+    assert filt and agg, plan
+    assert agg.start() < filt.start(), "collect_list must consume the rank-bounded rows"
+
+    rows = {r["project"]: r for r in feed.collect()}
+    assert rows["p"]["n"] == n
+    assert len(rows["p"]["outcomes"]) == 100  # bounded, not O(wave)
+    # newest first: wave_rank n down to n-99
+    expect = [(i % 3 != 0) for i in range(n, n - 100, -1)]
+    assert list(rows["p"]["outcomes"]) == expect
+    assert rows["q"]["n"] == 5 and len(rows["q"]["outcomes"]) == 5
