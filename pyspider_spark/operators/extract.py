@@ -110,9 +110,10 @@ def process_wave(fetched_wave: DataFrame) -> DataFrame:
     spans = F.col("content_spans")
     n_links = F.size(F.filter(spans, lambda s: s.kind == F.lit("link")))
     n_media = F.size(F.filter(spans, lambda s: s.kind == F.lit("media")))
-    title = F.element_at(
-        F.filter(spans, lambda s: s.kind == F.lit("text")), 1
-    ).text
+    # F.get: a page with ZERO text spans must yield a NULL title, not an
+    # ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash (same hazard class as
+    # the robots gate, ADVICE r03)
+    title = F.get(F.filter(spans, lambda s: s.kind == F.lit("text")), 0).text
     result = F.to_json(
         F.struct(
             F.col("url").alias("url"),

@@ -225,9 +225,16 @@ def conditional_gate(fetched: DataFrame) -> DataFrame:
     )
 
 
-def build_track(now: float) -> F.Column:
+def build_track(now: float, wire_meta: bool = False) -> F.Column:
     """P7: the track struct recorded on the finished task
-    (processor/processor.py:125-169 shape, trimmed to analytic fields)."""
+    (processor/processor.py:125-169 shape, trimmed to analytic fields).
+    ``wire_meta``: the real fetch mode captured response validators into
+    resp_etag / resp_last_modified columns (X4 replay state); simulated
+    mode records NULLs."""
+    etag = F.col("resp_etag") if wire_meta else F.lit(None).cast("string")
+    last_mod = (
+        F.col("resp_last_modified") if wire_meta else F.lit(None).cast("string")
+    )
     return F.struct(
         F.struct(
             F.col("fetch_ok").alias("ok"),
@@ -236,6 +243,8 @@ def build_track(now: float) -> F.Column:
             F.lit("utf-8").alias("encoding"),
             F.col("fetch_error").alias("error"),
             F.col("redirect_url").alias("redirect_url"),
+            etag.alias("etag"),
+            last_mod.alias("last_modified"),
         ).alias("fetch"),
         F.struct(
             F.col("process_ok").alias("ok"),

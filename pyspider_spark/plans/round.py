@@ -209,24 +209,32 @@ def run_round(
     if config.fetch_mode == "real":
         from pyspider_spark.operators.fetch_real import real_fetch_stage
 
-        # real HTTP follows its own redirects (final URL recorded); the
-        # simulated redirect table only applies to simulated mode
-        fetched = real_fetch_stage(gated, max_threads=config.fetch_threads)
+        # real HTTP follows its own redirects in-kernel with the config
+        # hop budget (X2); a wire 304 from replayed validators is this
+        # mode's not_modified (X4) — the simulated emulation gate below
+        # must NOT also run, or every successful recrawl would 304
+        fetched = real_fetch_stage(
+            gated, max_threads=config.fetch_threads,
+            max_redirects=config.max_redirects,
+            replay_conditional=config.conditional_get,
+        )
     elif redirects is not None:
         gated = resolve_redirects(gated, redirects, config.max_redirects)
         fetched = simulated_fetch(gated, documents, now, url_col="resolved_url")
     else:
         fetched = simulated_fetch(gated, documents, now)
-    if config.conditional_get:
+    if config.conditional_get and config.fetch_mode != "real":
         fetched = conditional_gate(fetched)
     # cache slimming: everything downstream of process_wave needs only the
     # LINK spans' (text, offset) — result/title/counts were just computed
     # into their own columns — so the persisted wave drops the full span
     # structs (~half the cached bytes; memory bandwidth is the measured
     # single-box bottleneck, BENCH/BASELINE.md §3b)
+    pw = process_wave(fetched)
     processed = (
-        process_wave(fetched)
-        .withColumn("track", build_track(now))
+        pw
+        .withColumn("track", build_track(now, wire_meta="resp_etag" in pw.columns))
+        .drop("resp_etag", "resp_last_modified")
         .withColumn(
             "link_spans",
             F.transform(

@@ -82,6 +82,11 @@ TRACK_FETCH_TYPE = StructType(
         StructField("encoding", StringType()),
         StructField("error", StringType()),
         StructField("redirect_url", StringType()),
+        # X4 wire validators captured by the real fetch mode and replayed
+        # as If-None-Match / If-Modified-Since on the next recrawl
+        # (tornado_fetcher.py:259-277); NULL in simulated mode
+        StructField("etag", StringType()),
+        StructField("last_modified", StringType()),
     ]
 )
 
