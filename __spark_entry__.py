@@ -35,6 +35,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ADVICE r03 (medium): the flagship/multimodal oracles are VALUES literals
+# generated for ONE corpus dir. The gate compares them against the query
+# run at whatever sf_dir the harness passes — if the two dirs ever differ,
+# fail loudly instead of silently comparing against the wrong corpus.
+_ORACLE_STATE: dict = {"generated_for": None, "last_query_sf": None}
+
+
+def _oracle_sf() -> str:
+    """Corpus dir the literal oracles are generated for: an explicit env
+    override wins; else the dir the literal-oracled queries last ran
+    against in this process; else the driver's sf0.01 gate default."""
+    sf = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF")
+        or _ORACLE_STATE["last_query_sf"]
+        or "/root/testdata/sf0.01"
+    )
+    _ORACLE_STATE["generated_for"] = sf
+    return sf
+
+
+def _literal_oracle_guard(sf_dir: str) -> None:
+    gen = _ORACLE_STATE["generated_for"]
+    if gen is not None and os.path.normpath(gen) != os.path.normpath(sf_dir):
+        raise RuntimeError(
+            f"oracle literals were generated for {gen} but this query is "
+            f"executing against {sf_dir}; the side-by-side gate would "
+            f"compare mismatched corpora. Run the query and oracle_sql() "
+            f"against the same sf_dir (or set SPARK_GRAFT_ORACLE_SF)."
+        )
+    _ORACLE_STATE["last_query_sf"] = sf_dir
+
+
 # ---------------------------------------------------------------------------
 # flagship: a real crawl over the interleaved corpus derived from testdata
 # ---------------------------------------------------------------------------
@@ -438,6 +470,7 @@ def q_multimodal_features(spark, sf):
     feature extraction (deterministic stub decode; fully oracled)."""
     from pyspider_spark.functions.multimodal import decode_stub_features
 
+    _literal_oracle_guard(sf)
     feats = decode_stub_features(_media_table(spark, sf))
     # project the engine-portable deterministic columns (the float feature
     # vector is computed by the same Arrow stage but is float32-mean math a
@@ -451,13 +484,16 @@ def q_multimodal_frames(spark, sf):
     oracle recomputes the payload stream + stride inside DuckDB)."""
     from pyspider_spark.functions.multimodal import frame_sample
 
+    _literal_oracle_guard(sf)
     # stride 63 is coprime with the 32-byte repeating payload stream, so
     # sampled frames actually walk the payload (64 would alias to byte 0)
     return frame_sample(_media_table(spark, sf), every_n_bytes=63)
 
 
 def q_crawl_flagship(spark, sf):
-    """Rows-only: full crawl over the interleaved corpus (3 rounds)."""
+    """Full crawl over the interleaved corpus (3 rounds); VALUES-literal
+    oracled, so the corpus dir must match the oracle generation dir."""
+    _literal_oracle_guard(sf)
     return crawl_flagship(spark, sf, max_rounds=3)
 
 
@@ -502,7 +538,7 @@ def oracle_sql() -> dict[str, str]:
     # the driver's side-by-side gate runs at sf0.01; the flagship/multimodal
     # oracles are VALUES literals derived (independently: pure-Python XXH64
     # + ReferenceSim) from that corpus, so they are generated for it
-    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    oracle_sf = _oracle_sf()
     qv = "[" + ", ".join(f"{x!r}" for x in _QUERY_VEC) + "]"
     return {
         "crawl_flagship": oracles.crawl_flagship_sql(oracle_sf, max_rounds=3),

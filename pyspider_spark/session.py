@@ -20,7 +20,17 @@ BASE_CONFS: dict[str, str] = {
     # ones (hot hosts), convert to broadcast when a side turns out small.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # honor the advisory partition size instead of pinning parallelism:
+    # a small (sub-100k-URL) round collapses to a handful of real tasks
+    # instead of 32 sub-second ones (the measured fixed-cost tax of the
+    # 400k e2e crawl, BENCH/BASELINE.md §3); corpus-scale waves still get
+    # full parallelism because their shuffle bytes / 64m >> cores
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # the engine is built for Spark 4 ANSI semantics (null-safe F.get /
+    # try_* accessors on data paths) — pin it so a host cluster that
+    # overrides the default can't silently change expression behavior
+    "spark.sql.ansi.enabled": "true",
     # Arrow for all pandas UDFs (URL kernel, bloom probe, minhash...).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
