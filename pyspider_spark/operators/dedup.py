@@ -140,19 +140,45 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, threshold: float = 0.7
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs: |A∩B| via shingle join, |A∪B| =
-    |A|+|B|-|A∩B|. Candidate set is LSH-pruned so this join is tiny
-    relative to all-pairs."""
-    sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    sa = shingled.select(F.col("doc").alias("doc_a"), "shingle")
-    sb = shingled.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    """Exact Jaccard on candidate pairs: |A∩B| = array_intersect of the
+    two docs' shingle SETS, |A∪B| = |A|+|B|-|A∩B|.
+
+    Shape (VERDICT r03 item 8): each doc's shingles aggregate ONCE into an
+    array (one row per doc), the candidate pairs join that table on each
+    side, and the intersection is a per-row JVM set operation. The old
+    plan joined the EXPLODED shingle rows through the pairs —
+    |pairs| × shingles-per-doc intermediate rows (86M rows for 420k
+    candidates at sf0.1; measured 29s of the query's 33s) — where this
+    computes the same counts over |pairs| rows. The per-doc set table is
+    |docs| rows: broadcast when small, a keyed shuffle join at corpus
+    scale (and LSH guarantees the pair side is bucket-pruned, never
+    all-pairs)."""
+    # intersect 64-bit shingle hashes, not strings: the per-pair set op is
+    # long comparisons instead of string hashing (measured 2.5x on the
+    # verify stage). A cross-collision inside one candidate pair would
+    # perturb a count with probability ~|A||B|/2^64 per pair — standard
+    # near-dup practice, and the string-exact oracle stays green on the
+    # deterministic test corpora.
+    # persist: both join sides broadcast this table — without the cache
+    # the 1M-row collect_list aggregation runs once per side
+    sets = shingled.groupBy("doc").agg(
+        F.collect_list(F.xxhash64("shingle")).alias("sh"),
+        F.count("*").alias("n_sh"),
+    ).persist()
+    a = sets.select(
+        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
+    b = sets.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # the pair table is BYTE-small but each row costs an O(|A|+|B|) set
+    # intersection — AQE coalesces it by size to a handful of partitions
+    # and serializes the compute; spread it across the cluster explicitly
+    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -169,9 +195,17 @@ def minhash_dedup(
     threshold: float = 0.7, max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
-    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard)."""
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard).
+
+    The thin intermediates persist: ``sh`` feeds both the signatures and
+    the verify sets; the signature table feeds the band self-join twice
+    (each side) plus the bucket-size guard; ``pairs`` feeds the verify
+    joins. Without the caches each consumer re-runs its upstream DAG and —
+    worse — joins plan without runtime stats (measured 2x on the full
+    query vs the per-stage sum)."""
     sh = shingles(df, text_col, id_col, k).persist()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), bands, rows, max_bucket_size)
+    sigs = minhash_signatures(sh, n_hashes).persist()
+    pairs = lsh_candidate_pairs(sigs, bands, rows, max_bucket_size).persist()
     return jaccard_verify(pairs, sh, threshold)
 
 

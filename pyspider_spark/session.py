@@ -20,12 +20,12 @@ BASE_CONFS: dict[str, str] = {
     # ones (hot hosts), convert to broadcast when a side turns out small.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # honor the advisory partition size instead of pinning parallelism:
-    # a small (sub-100k-URL) round collapses to a handful of real tasks
-    # instead of 32 sub-second ones (the measured fixed-cost tax of the
-    # 400k e2e crawl, BENCH/BASELINE.md §3); corpus-scale waves still get
-    # full parallelism because their shuffle bytes / 64m >> cores
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst stays at its default (true): honoring the 64m
+    # advisory size instead was MEASURED to coalesce the minhash/dedup
+    # shuffles to ~5 partitions on this box and regress the dominant
+    # bench query 13s → 35s (round-4 A/B, BENCH/BASELINE.md §3c) — the
+    # small-round fixed-cost tax is cheaper than starving mid-size
+    # shuffles of cores.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # the engine is built for Spark 4 ANSI semantics (null-safe F.get /
     # try_* accessors on data paths) — pin it so a host cluster that
