@@ -93,6 +93,7 @@ def extract_links(
             F.lit(True).alias("robots_txt"),
             F.lit(None).cast("string").alias("proxy"),
             F.lit(None).cast("boolean").alias("use_gzip"),
+            F.lit(None).cast("int").alias("max_redirects"),
         ).alias("fetch"),
         F.struct(F.lit("index_page").alias("callback")).alias("process"),
         make_seq(F.lit(round_no), F.col("wave_rank"), F.col("offset")).alias("seq"),

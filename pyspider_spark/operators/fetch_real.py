@@ -289,6 +289,13 @@ def real_fetch(
         etag_col = F.lit(None).cast("string")
         lm_col = F.lit(None).cast("string")
 
+    fetch_fields = [sf.name for sf in wave.schema["fetch"].dataType.fields]
+    mr_col = (
+        F.coalesce(F.col("fetch").max_redirects, F.lit(int(max_redirects)))
+        if "max_redirects" in fetch_fields
+        # legacy narrow test structs: the config/round default applies
+        else F.lit(int(max_redirects))
+    )
     passthrough = list(wave.columns)
     thin = wave.select(
         "*",
@@ -302,6 +309,7 @@ def real_fetch(
         allowed.alias("_a"),
         etag_col.alias("_e"),
         lm_col.alias("_lm"),
+        mr_col.cast("double").alias("_mr"),
     )
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in wave.schema.fields
@@ -315,11 +323,12 @@ def real_fetch(
                 continue
             rows = list(
                 zip(pdf["_u"], pdf["_m"], pdf["_h"], pdf["_d"], pdf["_t"],
-                    pdf["_p"], pdf["_g"], pdf["_a"], pdf["_e"], pdf["_lm"])
+                    pdf["_p"], pdf["_g"], pdf["_a"], pdf["_e"], pdf["_lm"],
+                    pdf["_mr"])
             )
             with ThreadPoolExecutor(max_workers=min(max_threads, len(rows))) as ex:
                 results = list(ex.map(
-                    lambda r: _fetch_one(*r, max_redirects=max_redirects), rows
+                    lambda r: _fetch_one(*r[:-1], max_redirects=int(r[-1])), rows
                 ))
             res = pd.DataFrame(results)
             out = pdf[passthrough].reset_index(drop=True)

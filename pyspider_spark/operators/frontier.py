@@ -521,7 +521,7 @@ def synthetic_candidates(spark, items: list[dict], round_no: int) -> DataFrame |
                     it.get("priority", 9), 3, 0, 0.0, it.get("age", 0), None,
                     it.get("force_update", True), False, False,
                 ),
-                ("GET", None, None, 120, it.get("save"), False, None, None),
+                ("GET", None, None, 120, it.get("save"), False, None, None, None),
                 (it["callback"],),
                 make_seq_py(round_no, (1 << 19) - 1, i + 1),
             )
@@ -597,7 +597,7 @@ def synthetic_wave(spark, items: list[dict], round_no: int, now: float) -> DataF
                 None,
                 LEASED,
                 (it.get("priority", 0), 3, 0, 0.0, it.get("age", -1), None, False, False, False),
-                ("GET", None, None, 120, it.get("save"), False, None, None),
+                ("GET", None, None, 120, it.get("save"), False, None, None, None),
                 (it["callback"],),
                 None,
                 now + PROCESSING_TIMEOUT,
@@ -671,6 +671,7 @@ def candidates_from_seeds(
             F.lit(True).alias("robots_txt"),
             F.lit(None).cast("string").alias("proxy"),
             F.lit(None).cast("boolean").alias("use_gzip"),
+            F.lit(None).cast("int").alias("max_redirects"),
         ).alias("fetch"),
         F.struct(F.lit("index_page").alias("callback")).alias("process"),
         "seq",

@@ -62,14 +62,14 @@ def join_crawl_config(wave: DataFrame, project_configs: dict[str, dict]) -> Data
     rows = [
         (p, _headers(cc), cc.get("method"), cc.get("data"),
          cc.get("timeout"), cc.get("save"), cc.get("robots_txt"),
-         cc.get("proxy"), cc.get("use_gzip"))
+         cc.get("proxy"), cc.get("use_gzip"), cc.get("max_redirects"))
         for p, cc in ccs.items()
     ]
     cc = F.broadcast(spark.createDataFrame(
         rows,
         "project string, cc_headers map<string,string>, cc_method string, "
         "cc_data string, cc_timeout int, cc_save string, cc_robots_txt boolean, "
-        "cc_proxy string, cc_use_gzip boolean",
+        "cc_proxy string, cc_use_gzip boolean, cc_max_redirects int",
     ))
     joined = wave.join(cc, "project", "left")
     f = F.col("fetch")
@@ -86,16 +86,21 @@ def join_crawl_config(wave: DataFrame, project_configs: dict[str, dict]) -> Data
         .withField("save", F.coalesce(f.save, F.col("cc_save")))
         .withField("robots_txt", F.coalesce(f.robots_txt, F.col("cc_robots_txt")))
     )
-    has_fetch_x6 = "proxy" in [sf.name for sf in wave.schema["fetch"].dataType.fields]
-    if has_fetch_x6:
+    fetch_fields = [sf.name for sf in wave.schema["fetch"].dataType.fields]
+    if "proxy" in fetch_fields:
         # X6: config-level proxy/gzip fill unset task fields (withField on
         # structs that carry them — legacy narrow test structs pass through)
         merged = merged.withField(
             "proxy", F.coalesce(f.proxy, F.col("cc_proxy"))
         ).withField("use_gzip", F.coalesce(f.use_gzip, F.col("cc_use_gzip")))
+    if "max_redirects" in fetch_fields:
+        # X2: per-project redirect budget fills unset task budgets
+        merged = merged.withField(
+            "max_redirects", F.coalesce(f.max_redirects, F.col("cc_max_redirects"))
+        )
     return joined.withColumn("fetch", merged).drop(
         "cc_headers", "cc_method", "cc_data", "cc_timeout", "cc_save",
-        "cc_robots_txt", "cc_proxy", "cc_use_gzip",
+        "cc_robots_txt", "cc_proxy", "cc_use_gzip", "cc_max_redirects",
     )
 
 

@@ -69,6 +69,11 @@ FETCH_TYPE = StructType(
         # the real fetch kernel; no-ops in simulated mode
         StructField("proxy", StringType()),
         StructField("use_gzip", BooleanType()),
+        # X2: per-task redirect hop budget (task['fetch']['max_redirects'],
+        # tornado_fetcher.py:352-406); NULL = the round's config default.
+        # Consumed by the real fetch kernel; simulated mode uses the
+        # config/round budget (the redirect map join is plan-wide).
+        StructField("max_redirects", IntegerType()),
     ]
 )
 

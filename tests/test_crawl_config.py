@@ -122,3 +122,30 @@ def test_map_override_null_valued_key_wins(spark):
         map_override(F.col("base"), F.col("override")).alias("m")
     ).collect()[0]["m"]
     assert got == {"a": None, "b": "keep", "c": "new"}
+
+
+def test_crawl_config_fills_max_redirects(spark):
+    """X2 via F20: a project-level crawl_config max_redirects fills tasks
+    that did not set one; an explicit task value wins."""
+    from pyspider_spark.operators.projects import join_crawl_config
+
+    wave = spark.createDataFrame(
+        [("t1", "p", None), ("t2", "p", 9)],
+        "taskid string, project string, _mr int",
+    ).withColumn(
+        "fetch",
+        F.struct(
+            F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit(None).cast("string").alias("data"),
+            F.lit(None).cast("int").alias("timeout"),
+            F.lit(None).cast("string").alias("save"),
+            F.lit(None).cast("boolean").alias("robots_txt"),
+            F.lit(None).cast("string").alias("proxy"),
+            F.lit(None).cast("boolean").alias("use_gzip"),
+            F.col("_mr").alias("max_redirects"),
+        ),
+    ).drop("_mr")
+    out = join_crawl_config(wave, {"p": {"crawl_config": {"max_redirects": 3}}})
+    got = {r["taskid"]: r["fetch"]["max_redirects"] for r in out.collect()}
+    assert got == {"t1": 3, "t2": 9}

@@ -228,6 +228,36 @@ def test_302_post_becomes_get(site):
         ("POST", "/submit302"), ("GET", "/target")]
 
 
+def test_per_task_max_redirects_budget(spark, site):
+    """X2: task['fetch']['max_redirects'] overrides the config budget per
+    task (tornado_fetcher applies the task value over its default); tasks
+    without one fall back to the round config."""
+    wave = spark.createDataFrame(
+        [("long", "p", f"{site}/chain/4", 2),    # per-task 2 < 4 hops → 599
+         ("fits", "p", f"{site}/chain/4", 6),    # per-task 6 → 200
+         ("default", "p", f"{site}/chain/4", None)],  # config 5 → 200
+        "taskid string, project string, url string, _mr int",
+    ).withColumn(
+        "fetch",
+        F.struct(
+            F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit(None).cast("string").alias("data"),
+            F.lit(5).alias("timeout"),
+            F.lit(None).cast("string").alias("save"),
+            F.lit(False).alias("robots_txt"),
+            F.lit(None).cast("string").alias("proxy"),
+            F.lit(None).cast("boolean").alias("use_gzip"),
+            F.col("_mr").alias("max_redirects"),
+        ),
+    ).drop("_mr")
+    rows = {r["taskid"]: r for r in real_fetch_stage(wave, max_redirects=5).collect()}
+    assert rows["long"]["status_code"] == 599
+    assert "too many redirects" in rows["long"]["fetch_error"]
+    assert rows["fits"]["status_code"] == 200
+    assert rows["default"]["status_code"] == 200
+
+
 def test_cookie_set_on_hop1_replayed_on_hop2(site):
     """X3: Set-Cookie from a redirect hop rides the session jar into the
     next hop (cookie_utils + tornado session semantics)."""

@@ -13,7 +13,7 @@ OUTCOME_SCHEMA = (
     "schedule struct<priority:int,retries:int,retried:int,exetime:double,age:bigint,"
     "itag:string,force_update:boolean,auto_recrawl:boolean,cancel:boolean>, "
     "fetch struct<method:string,headers:map<string,string>,data:string,timeout:int,"
-    "save:string,robots_txt:boolean,proxy:string,use_gzip:boolean>, "
+    "save:string,robots_txt:boolean,proxy:string,use_gzip:boolean,max_redirects:int>, "
     "process struct<callback:string>, seq bigint, wave_rank int, process_ok boolean"
 )
 
@@ -22,7 +22,7 @@ def _outcome(taskid, project, retried, ok=False):
     return (
         taskid, project, f"http://h/{taskid}", "h",
         (0, 3, retried, 0.0, -1, None, False, False, False),
-        ("GET", None, None, 120, None, True, None, None), ("cb",), 1, 1, ok,
+        ("GET", None, None, 120, None, True, None, None, None), ("cb",), 1, 1, ok,
     )
 
 

@@ -21,7 +21,7 @@ def cand_row(taskid, url, priority=0, exetime=0.0, seq=1, age=-1, itag=None,
     return (
         project, taskid, url, "h.test",
         (priority, 3, 0, exetime, age, itag, force_update, auto_recrawl, cancel),
-        ("GET", None, None, 120, None, True, None, None),
+        ("GET", None, None, 120, None, True, None, None, None),
         ("index_page",),
         seq,
     )
@@ -32,7 +32,7 @@ CAND_SCHEMA = (
     "schedule struct<priority:int,retries:int,retried:int,exetime:double,age:bigint,"
     "itag:string,force_update:boolean,auto_recrawl:boolean,cancel:boolean>, "
     "fetch struct<method:string,headers:map<string,string>,data:string,timeout:int,"
-    "save:string,robots_txt:boolean,proxy:string,use_gzip:boolean>, "
+    "save:string,robots_txt:boolean,proxy:string,use_gzip:boolean,max_redirects:int>, "
     "process struct<callback:string>, seq bigint"
 )
 
