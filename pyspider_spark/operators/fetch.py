@@ -153,6 +153,12 @@ def resolve_redirects(
     overriding earlier keys (X3; cookie_utils.py:1-33 +
     tornado_fetcher.py:337-350 session semantics, seeded from the task's
     Cookie-relevant state and merged per response).
+
+    Per-task budgets: a task's ``fetch.max_redirects`` (when the wave
+    carries the field) stops ITS chain at that hop count, matching the
+    real mode's per-row budget — clamped to the plan-wide
+    ``max_redirects`` (the join unrolls that many hops; a task asking for
+    more gets the config ceiling).
     """
     if redirects is None:
         return (
@@ -167,18 +173,35 @@ def resolve_redirects(
     if with_cookies:
         cols.append(F.col("set_cookie").alias("_rc"))
     rmap = F.broadcast(redirects.select(*cols))
+    fetch_fields = (
+        [sf.name for sf in wave.schema["fetch"].dataType.fields]
+        if "fetch" in wave.columns
+        else []
+    )
+    budget = (
+        F.least(
+            F.coalesce(F.col("fetch").max_redirects, F.lit(int(max_redirects))),
+            F.lit(int(max_redirects)),
+        )
+        if "max_redirects" in fetch_fields
+        else F.lit(int(max_redirects))
+    )
     out = (
         wave.withColumn("resolved_url", F.col("url"))
         .withColumn("redirect_url", F.lit(None).cast("string"))
+        .withColumn("_budget", budget)
+        .withColumn("_hops", F.lit(0))
     )
     if with_cookies:
         out = out.withColumn(
             "cookie_jar", F.lit(None).cast("map<string,string>")
         )
     for hop in range(max_redirects):
-        out = out.join(rmap, out["resolved_url"] == rmap["_ru"], "left").withColumn(
+        out = out.join(rmap, out["resolved_url"] == rmap["_ru"], "left")
+        took = (F.col("_hops") < F.col("_budget")) & F.col("_rt").isNotNull()
+        out = out.withColumn(
             "redirect_url",
-            F.when(F.col("redirect_url").isNull() & F.col("_rt").isNotNull(), F.col("_rt"))
+            F.when(F.col("redirect_url").isNull() & took, F.col("_rt"))
             .otherwise(F.col("redirect_url")),
         )
         if with_cookies:
@@ -186,18 +209,21 @@ def resolve_redirects(
             out = out.withColumn(
                 "cookie_jar",
                 F.when(
-                    F.col("_rt").isNotNull(),
-                    map_override(F.col("cookie_jar"), F.col("_rc")),
+                    took, map_override(F.col("cookie_jar"), F.col("_rc"))
                 ).otherwise(F.col("cookie_jar")),
             )
         out = (
-            out.withColumn("resolved_url", F.coalesce(F.col("_rt"), F.col("resolved_url")))
+            out.withColumn(
+                "resolved_url",
+                F.when(took, F.col("_rt")).otherwise(F.col("resolved_url")),
+            )
+            .withColumn("_hops", F.col("_hops") + F.when(took, 1).otherwise(0))
             .drop("_ru", "_rt", *(["_rc"] if with_cookies else []))
         )
-    # budget exhausted = still one more hop available after max hops
+    # budget exhausted = the chain continues past where this task stopped
     out = out.join(rmap, out["resolved_url"] == rmap["_ru"], "left").withColumn(
         "redirect_exhausted", F.col("_rt").isNotNull()
-    ).drop("_ru", "_rt", *(["_rc"] if with_cookies else []))
+    ).drop("_ru", "_rt", "_budget", "_hops", *(["_rc"] if with_cookies else []))
     return out
 
 

@@ -137,3 +137,41 @@ def test_send_message(spark):
     # message task produced a result but no frontier row
     out.state.frontier = out.state.frontier.localCheckpoint(eager=True)
     assert out.state.frontier.where(F.col("taskid") == "_on_message").count() == 0
+
+
+def test_per_task_redirect_budget_simulated(spark):
+    """X2 parity: simulated resolve_redirects honors fetch.max_redirects
+    per task (clamped to the plan-wide budget), like the real kernel."""
+    from pyspider_spark.operators.fetch import resolve_redirects
+
+    redirects = spark.createDataFrame(
+        [("u://r0", "u://r1"), ("u://r1", "u://r2"), ("u://r2", "u://r3")],
+        "from_url string, to_url string",
+    )
+    wave = spark.createDataFrame(
+        [("b1", 1), ("b2", 2), ("b3", 3), ("bdef", None)],
+        "taskid string, _mr int",
+    ).withColumn("url", F.lit("u://r0")).withColumn(
+        "fetch",
+        F.struct(
+            F.lit(None).cast("string").alias("method"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit(None).cast("string").alias("data"),
+            F.lit(None).cast("int").alias("timeout"),
+            F.lit(None).cast("string").alias("save"),
+            F.lit(None).cast("boolean").alias("robots_txt"),
+            F.lit(None).cast("string").alias("proxy"),
+            F.lit(None).cast("boolean").alias("use_gzip"),
+            F.col("_mr").alias("max_redirects"),
+        ),
+    ).drop("_mr")
+    rows = {
+        r["taskid"]: r
+        for r in resolve_redirects(wave, redirects, max_redirects=5).collect()
+    }
+    assert (rows["b1"]["resolved_url"], rows["b1"]["redirect_exhausted"]) == ("u://r1", True)
+    assert (rows["b2"]["resolved_url"], rows["b2"]["redirect_exhausted"]) == ("u://r2", True)
+    assert (rows["b3"]["resolved_url"], rows["b3"]["redirect_exhausted"]) == ("u://r3", False)
+    assert (rows["bdef"]["resolved_url"], rows["bdef"]["redirect_exhausted"]) == ("u://r3", False)
+    # the first hop is still recorded for the track even when truncated
+    assert rows["b1"]["redirect_url"] == "u://r1"
