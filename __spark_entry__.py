@@ -173,6 +173,67 @@ def q_f9_urlseen_antijoin(spark, sf):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+def q_f9b_urlseen_cuckoo(spark, sf):
+    """F9 routed through the delete-capable sharded cuckoo prefilter (the
+    north rule's 'bloom/cuckoo' pair, urlseen.ShardedCuckoo): the seen set
+    (custkeys with orders) is learned into the filter; candidates split on
+    it; definitely-new rows skip the join, maybe-seen rows take the exact
+    anti-join. The no-false-negative contract makes the final answer
+    identical to the plain anti-join, so the oracle is plain SQL. The seen
+    set is the 'O'-status custkeys (a strict subset) so the split is
+    non-vacuous: ~3% of candidates really are new."""
+    from pyspider_spark.operators.urlseen import ShardedCuckoo
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("taskid"), "c_custkey", "c_name"
+    )
+    seen = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").cast("string").alias("taskid"))
+        .distinct()
+    )
+    ck = ShardedCuckoo(n_shards=8, expected_per_shard=1 << 15)
+    ck.add_df(seen)
+    new, maybe = ck.split_candidates(c)
+    return new.unionByName(maybe.join(seen, "taskid", "left_anti")).select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_f7_project_delete(spark, sf):
+    """F7 at project granularity against the cuckoo URL-seen
+    (scheduler.py:630-647 _check_delete -> taskdb.drop + unlearn): every
+    custkey with an order is learned; the 'deleted project' owns the
+    custkeys with no 'P'-status order, and exactly those are unlearned via
+    delete_df (the crawl's 'no other project still holds it' rule); the
+    surviving seen set is then re-added (the idempotent alias repair,
+    mirroring plans/crawl.py). Candidates re-route through
+    split_candidates + exact anti-join — the final now-unseen set must
+    equal the SQL oracle."""
+    from pyspider_spark.operators.urlseen import ShardedCuckoo
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("taskid"), "o_orderstatus"
+    )
+    all_seen = o.select("taskid").distinct()
+    surviving = o.where(F.col("o_orderstatus") == "P").select("taskid").distinct()
+    doomed = all_seen.join(surviving, "taskid", "left_anti")
+
+    ck = ShardedCuckoo(n_shards=8, expected_per_shard=1 << 15)
+    ck.add_df(all_seen)
+    ck.delete_df(doomed)
+    ck.add_df(surviving)  # alias repair
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("taskid"), "c_custkey", "c_name"
+    )
+    new, maybe = ck.split_candidates(c)
+    return new.unionByName(maybe.join(surviving, "taskid", "left_anti")).select(
+        "c_custkey", "c_name"
+    )
+
+
 def q_f10_restart_rules(spark, sf):
     """F10: restart rules per order, via the REAL frontier.restart_flags /
     restart_reason_label builders (itag > age > force_update precedence).
@@ -504,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_token_bucket": q_f6_token_bucket,
         "f8_fair_share": q_f8_fair_share,
         "f9_urlseen_antijoin": q_f9_urlseen_antijoin,
+        "f9b_urlseen_cuckoo": q_f9b_urlseen_cuckoo,
+        "f7_project_delete": q_f7_project_delete,
         "f10_restart_rules": q_f10_restart_rules,
         "f11_follows_dedup": q_f11_follows_dedup,
         "f13_retry_ladder": q_f13_retry_ladder,
@@ -610,6 +673,23 @@ def oracle_sql() -> dict[str, str]:
         "f9_urlseen_antijoin": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        # the cuckoo prefilter cannot change the answer (no false
+        # negatives; the maybe side re-checks exactly): unseen = customers
+        # with no 'O'-status order
+        "f9b_urlseen_cuckoo": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'O')
+        """,
+        # after the 'delete' unlearns custkeys holding no 'P' order,
+        # seen = custkeys with at least one 'P' order
+        "f7_project_delete": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'P')
         """,
         "f10_restart_rules": """
             SELECT CASE WHEN o_orderstatus = 'P' THEN 'itag_changed'

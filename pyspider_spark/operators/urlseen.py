@@ -182,3 +182,234 @@ class ShardedBloom:
             tagged.where(~F.col("_maybe")).drop("_maybe"),
             tagged.where(F.col("_maybe")).drop("_maybe"),
         )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo variant (north rule: "bloom/cuckoo URL-seen"). Same no-false-negative
+# contract and split_candidates API as ShardedBloom, PLUS deletion — which a
+# bloom structurally cannot do. Deletion is what the reference's project-delete
+# flow needs (scheduler.py:630-647 `_check_delete` drops a project's taskdb
+# rows): with a bloom, a deleted project's taskids stay "seen" forever, so a
+# re-created project would silently skip every URL it ever crawled; the cuckoo
+# unlearns them. Standard cuckoo-filter construction (Fan et al. 2014, public):
+# 16-bit fingerprints, 4-slot buckets, partner bucket i2 = i1 XOR H(fp) over a
+# power-of-two bucket count (involutive, so eviction can always re-derive the
+# alternate bucket from the stored fingerprint alone).
+# ---------------------------------------------------------------------------
+
+_FP_MULT = np.uint64(0x5BD1E995)  # odd multiplier for the fp->bucket-offset map
+
+
+def _cuckoo_keys(taskids: pd.Series, n_shards: int, nb: int):
+    """(shard, fp, i1) per taskid, all vectorized. fp is 16-bit nonzero
+    (0 marks an empty slot); shard comes from high h1 bits so it is
+    independent of the low bits that pick the bucket."""
+    h1, h2 = _hashes(taskids)
+    shard = ((h1 >> np.uint64(44)) % np.uint64(n_shards)).astype(np.int64)
+    fp = (h2 & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)
+    i1 = (h1 & np.uint64(nb - 1)).astype(np.int64)
+    return shard, fp, i1
+
+
+def _partner(i: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
+    off = (fp.astype(np.uint64) * _FP_MULT) & np.uint64(nb - 1)
+    return (i.astype(np.uint64) ^ off).astype(np.int64)
+
+
+def _cuckoo_contains(table, stash, fp, i1, nb) -> np.ndarray:
+    i2 = _partner(i1, fp, nb)
+    hit = (table[i1] == fp[:, None]).any(axis=1) | (table[i2] == fp[:, None]).any(axis=1)
+    if len(stash):
+        # a stashed item recorded whichever of its two buckets it held when
+        # the eviction walk gave up — check BOTH candidate keys
+        hit |= np.isin((i1.astype(np.uint64) << np.uint64(16)) | fp, stash)
+        hit |= np.isin((i2.astype(np.uint64) << np.uint64(16)) | fp, stash)
+    return hit
+
+
+def _place_pass(table: np.ndarray, fp: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Place as many (fp, bucket) pairs as the buckets have free slots,
+    vectorized: 4 sweeps (one per slot lane), each taking the first pending
+    item per unique bucket. Returns the placed mask."""
+    placed = np.zeros(len(fp), dtype=bool)
+    for _ in range(table.shape[1]):
+        pend = np.flatnonzero(~placed)
+        if len(pend) == 0:
+            break
+        bp = b[pend]
+        uniq, first = np.unique(bp, return_index=True)
+        cand = pend[first]  # one candidate per distinct bucket this sweep
+        slots = table[uniq]  # (u, 4)
+        free = slots == 0
+        has = free.any(axis=1)
+        if not has.any():
+            break
+        rows, lanes = uniq[has], free.argmax(axis=1)[has]
+        table[rows, lanes] = fp[cand[has]]
+        placed[cand[has]] = True
+    return placed
+
+
+def _insert_shard(table: np.ndarray, stash: list, fp: np.ndarray, i1: np.ndarray,
+                  nb: int, max_kicks: int = 500) -> None:
+    """Idempotent vectorized insert into one shard's table. Already-present
+    keys are skipped (re-adding a round's whole frontier delta each round
+    must be a no-op, as with the bloom); within-batch duplicates dedupe;
+    leftovers that neither bucket can hold go through the standard bounded
+    eviction walk, overflowing (rare, load-bounded) into a stash that the
+    probe checks with np.isin."""
+    stash_arr = np.asarray(stash, dtype=np.uint64)
+    known = _cuckoo_contains(table, stash_arr, fp, i1, nb)
+    key = (i1.astype(np.uint64) << np.uint64(16)) | fp
+    _, first_idx = np.unique(key[~known], return_index=True)
+    sel = np.flatnonzero(~known)[first_idx]
+    fp, i1 = fp[sel], i1[sel]
+    placed = _place_pass(table, fp, i1)
+    if not placed.all():
+        i2 = _partner(i1[~placed], fp[~placed], nb)
+        placed2 = _place_pass(table, fp[~placed], i2)
+        rem_fp = fp[~placed][~placed2]
+        rem_b = i2[~placed2]
+        # eviction walk (scalar; bounded and empirically ~0 below 0.8 load)
+        for f0, b0 in zip(rem_fp.tolist(), rem_b.tolist()):
+            f, b = np.uint16(f0), int(b0)
+            done = False
+            for kick in range(max_kicks):
+                lane = int((int(f) + kick) % table.shape[1])
+                f, table[b, lane] = table[b, lane], f
+                b = int(_partner(np.array([b]), np.array([f], dtype=np.uint16), nb)[0])
+                free = np.flatnonzero(table[b] == 0)
+                if len(free):
+                    table[b, free[0]] = f
+                    done = True
+                    break
+            if not done:
+                stash.append(int((np.uint64(b) << np.uint64(16)) | np.uint64(f)))
+
+
+def _delete_shard(table: np.ndarray, stash: list, fp: np.ndarray, i1: np.ndarray, nb: int) -> None:
+    """Remove one stored copy per key, vectorized. Only keys that were
+    actually inserted may be deleted (standard cuckoo contract — deleting a
+    never-inserted key can evict an aliased neighbor); the URL-seen caller
+    only ever deletes taskids it previously added."""
+    key = (i1.astype(np.uint64) << np.uint64(16)) | fp
+    _, first_idx = np.unique(key, return_index=True)
+    fp, i1, key = fp[first_idx], i1[first_idx], key[first_idx]
+    m1 = table[i1] == fp[:, None]
+    has1 = m1.any(axis=1)
+    table[i1[has1], m1.argmax(axis=1)[has1]] = 0
+    rest = ~has1
+    if rest.any():
+        i2 = _partner(i1[rest], fp[rest], nb)
+        m2 = table[i2] == fp[rest][:, None]
+        has2 = m2.any(axis=1)
+        table[i2[has2], m2.argmax(axis=1)[has2]] = 0
+    if stash:
+        i2 = _partner(i1, fp, nb)
+        key2 = (i2.astype(np.uint64) << np.uint64(16)) | fp
+        arr = np.asarray(stash, dtype=np.uint64)
+        stash[:] = arr[~(np.isin(arr, key) | np.isin(arr, key2))].tolist()
+
+
+class ShardedCuckoo:
+    """Driver-held (broadcast-ready) sharded cuckoo filter over taskids.
+
+    Same role and API as ShardedBloom (split_candidates / add_df /
+    might_contain_udf) plus ``delete_df``. Distributed build: unlike bloom
+    bitmaps, cuckoo tables don't OR-merge, so ``add_df`` repartitions keys
+    BY SHARD and each shard's task inserts into (a copy of) that shard's
+    broadcast table — table bytes move to the driver, never raw keys. At
+    10^10 keys the shard count grows so each table stays bounded
+    (table = 2 bytes/slot; this mirrors the bloom's per-shard sizing)."""
+
+    def __init__(self, n_shards: int = 16, expected_per_shard: int = 1 << 20,
+                 slots_per_bucket: int = 4, load_factor: float = 0.84):
+        self.n_shards = n_shards
+        nb = 1 << max(4, int(np.ceil(np.log2(max(1, expected_per_shard) / (slots_per_bucket * load_factor)))))
+        self.nb = nb
+        self.tables = np.zeros((n_shards, nb, slots_per_bucket), dtype=np.uint16)
+        self.stashes: list[list[int]] = [[] for _ in range(n_shards)]
+
+    def _apply_df(self, df: DataFrame, op: str, taskid_col: str) -> None:
+        spark = df.sparkSession
+        n_shards, nb = self.n_shards, self.nb
+        bc = spark.sparkContext.broadcast((self.tables, self.stashes))
+
+        def keys_of(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                shard, fp, i1 = _cuckoo_keys(pdf[taskid_col].fillna(""), n_shards, nb)
+                yield pd.DataFrame({
+                    "shard": shard,
+                    "key": ((i1.astype(np.uint64) << np.uint64(16)) | fp).astype(np.int64),
+                })
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = int(pdf["shard"].iloc[0])
+            tables, stashes = bc.value
+            table = tables[s].copy()
+            stash = list(stashes[s])
+            key = pdf["key"].to_numpy(np.uint64)
+            fp = (key & np.uint64(0xFFFF)).astype(np.uint16)
+            i1 = (key >> np.uint64(16)).astype(np.int64)
+            if op == "add":
+                _insert_shard(table, stash, fp, i1, nb)
+            else:
+                _delete_shard(table, stash, fp, i1, nb)
+            return pd.DataFrame({
+                "shard": [s],
+                "table": [table.tobytes()],
+                "stash": [np.asarray(stash, dtype=np.uint64).tobytes()],
+            })
+
+        rows = (
+            df.select(taskid_col)
+            .mapInPandas(keys_of, "shard long, key long")
+            .groupBy("shard")
+            .applyInPandas(build, "shard long, table binary, stash binary")
+            .collect()
+        )
+        for r in rows:
+            s = int(r["shard"])
+            self.tables[s] = np.frombuffer(r["table"], dtype=np.uint16).reshape(self.tables[s].shape)
+            self.stashes[s] = np.frombuffer(r["stash"], dtype=np.uint64).tolist()
+        bc.unpersist()
+
+    def add_df(self, df: DataFrame, taskid_col: str = "taskid") -> None:
+        self._apply_df(df, "add", taskid_col)
+
+    def delete_df(self, df: DataFrame, taskid_col: str = "taskid") -> None:
+        """Unlearn taskids (project delete — scheduler.py:630-647). After
+        this, a re-created project's URLs route as unseen again."""
+        self._apply_df(df, "delete", taskid_col)
+
+    def might_contain_udf(self, spark):
+        bc = spark.sparkContext.broadcast(
+            (self.tables, [np.asarray(s, dtype=np.uint64) for s in self.stashes])
+        )
+        n_shards, nb = self.n_shards, self.nb
+
+        @F.pandas_udf(BooleanType())
+        def might_contain(taskids: pd.Series) -> pd.Series:
+            if len(taskids) == 0:
+                return pd.Series([], dtype=bool)
+            tables, stashes = bc.value
+            shard, fp, i1 = _cuckoo_keys(taskids.fillna(""), n_shards, nb)
+            out = np.zeros(len(taskids), dtype=bool)
+            for s in np.unique(shard):
+                sel = shard == s
+                out[sel] = _cuckoo_contains(tables[s], stashes[s], fp[sel], i1[sel], nb)
+            return pd.Series(out)
+
+        return might_contain
+
+    def split_candidates(self, cands: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(definitely_new, maybe_seen) — identical contract to the bloom's."""
+        probe = self.might_contain_udf(cands.sparkSession)
+        tagged = cands.withColumn("_maybe", probe(F.col("taskid")))
+        return (
+            tagged.where(~F.col("_maybe")).drop("_maybe"),
+            tagged.where(F.col("_maybe")).drop("_maybe"),
+        )

@@ -77,6 +77,7 @@ def crawl(
     bloom_expected: int = 1 << 20,
     redirects: DataFrame | None = None,
     project_updates: dict[int, dict[str, dict]] | None = None,
+    urlseen_filter: str = "bloom",
 ) -> CrawlReport:
     """``project_updates``: {round_no: {project: config_delta}} — the
     quantized _update_projects lifecycle (scheduler.py:206-259): before the
@@ -84,13 +85,24 @@ def crawl(
     ...) deep-merges into the project's config. An itag change makes every
     subsequently re-emitted candidate restart its SUCCESS task (F10); a
     delta with ``"reseed": True`` additionally re-issues the project's
-    seeds (the 'run'/on_start analogue), cascading the recrawl."""
+    seeds (the 'run'/on_start analogue), cascading the recrawl. A delta
+    that leaves the project with status STOP and 'delete' in its group is
+    the project-delete trigger (scheduler.py:630-647 _check_delete,
+    quantized to the round boundary instead of the 24h DELETE_TIME wait):
+    the project's frontier rows, queue accounting, politeness bucket, and
+    collected results drop, and in cuckoo URL-seen mode its taskids are
+    unlearned so a re-created project re-crawls them.
+
+    ``urlseen_filter``: 'bloom' (default) or 'cuckoo' — which URL-seen
+    prefilter ``use_bloom=True`` builds. Both split candidates identically;
+    the cuckoo additionally supports deletion (project delete)."""
     state = bootstrap(spark, seeds, config)
     bloom = None
     if use_bloom:
-        from pyspider_spark.operators.urlseen import ShardedBloom
+        from pyspider_spark.operators.urlseen import ShardedBloom, ShardedCuckoo
 
-        bloom = ShardedBloom(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
+        cls = {"bloom": ShardedBloom, "cuckoo": ShardedCuckoo}[urlseen_filter]
+        bloom = cls(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
         bloom.add_df(state.frontier)
     return _loop(
         spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
@@ -150,6 +162,46 @@ def _loop(
                         cfg_p[k] = {**cfg_p[k], **v}
                     else:
                         cfg_p[k] = v
+            # project delete (scheduler.py:630-647 _check_delete): STOP'd
+            # project in group 'delete' → drop its tasks, results, counters.
+            # The reference waits DELETE_TIME (24h) after the last update;
+            # the batch analogue applies it at this round boundary.
+            doomed = [
+                p for p, c in list(config.projects.items())
+                if c.get("status") == "STOP"
+                and "delete" in str(c.get("group") or "").lower().split(",")
+            ]
+            for p in doomed:
+                if bloom is not None and hasattr(bloom, "delete_df"):
+                    # unlearn ONLY taskids no other project still holds —
+                    # a URL shared across projects must stay seen (the
+                    # filter is taskid-keyed, one stored copy per taskid)
+                    gone = state.frontier.where(F.col("project") == p).select("taskid")
+                    kept = state.frontier.where(F.col("project") != p).select("taskid")
+                    bloom.delete_df(gone.join(kept, "taskid", "left_anti"))
+                state.frontier = state.frontier.where(F.col("project") != p)
+                config.projects.pop(p, None)
+                if state.qsizes is not None:
+                    state.qsizes.pop(p, None)
+                state.budget.buckets.pop(p, None)
+                if state.projects_state is not None:
+                    state.projects_state.runtimes.pop(p, None)
+                if all_results is not None:
+                    # memory-mode resultdb drop; in store mode historical
+                    # appended rounds are immutable — the drop applies to
+                    # the live view, as with the reference's resultdb.drop
+                    all_results = all_results.where(F.col("project") != p)
+            if doomed and bloom is not None and hasattr(bloom, "delete_df"):
+                # soundness repair: with idempotent inserts two distinct
+                # taskids that alias to the same (bucket, fingerprint) share
+                # ONE stored copy, so the delete above may have unlearned a
+                # surviving project's taskid too — and a false negative
+                # would double-insert on the definitely-new fast path.
+                # Re-adding the whole surviving frontier (idempotent ⇒
+                # no-op except for exactly the aliased losers) restores the
+                # no-false-negative guarantee. O(frontier) vectorized
+                # hashing once per delete event — rare and admin-triggered.
+                bloom.add_df(state.frontier.select("taskid"))
             if reseed_projects and seeds is not None:
                 re_cands = candidates_from_seeds(
                     seeds.where(F.col("project").isin(reseed_projects)),

@@ -40,15 +40,17 @@ def _page_host(idc: Column, hosts: int, seed: int) -> Column:
     return F.when(hot, F.lit(0)).otherwise(rest.cast("int"))
 
 
-def _page_url(idc: Column, hostc: Column) -> Column:
+def _page_url(idc: Column, hostc: Column, host_prefix: str = "site") -> Column:
     return F.concat(
-        F.lit("http://site"), hostc.cast("string"), F.lit(".test/page?n="), idc.cast("string")
+        F.lit(f"http://{host_prefix}"), hostc.cast("string"), F.lit(".test/page?n="),
+        idc.cast("string"),
     )
 
 
-def _private_url(idc: Column, hostc: Column) -> Column:
+def _private_url(idc: Column, hostc: Column, host_prefix: str = "site") -> Column:
     return F.concat(
-        F.lit("http://site"), hostc.cast("string"), F.lit(".test/private?n="), idc.cast("string")
+        F.lit(f"http://{host_prefix}"), hostc.cast("string"), F.lit(".test/private?n="),
+        idc.cast("string"),
     )
 
 
@@ -86,9 +88,14 @@ def synth_documents(
     hosts: int = 8,
     seed: int = 42,
     partitions: int | None = None,
+    host_prefix: str = "site",
 ) -> DataFrame:
     """Interleaved documents table: ``total`` crawlable pages + ``total//10``
-    robots-disallowed private pages. Columns: (doc_id string, spans array)."""
+    robots-disallowed private pages. Columns: (doc_id string, spans array).
+    ``host_prefix`` names a disjoint host universe (hosts ``{prefix}{h}.test``)
+    so multi-corpus tests can union corpora without doc_id collisions —
+    doc_id must be UNIQUE across the documents table (the simulated fetch
+    is a lookup join; a duplicate doc_id would fan the wave out)."""
     rng = spark.range(0, total, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     h = _page_host(i, hosts, seed)
@@ -102,7 +109,7 @@ def synth_documents(
     def href_for(k: Column) -> Column:
         t = link_target(k)
         th = _page_host(t, hosts, seed)
-        absolute = _page_url(t, th)
+        absolute = _page_url(t, th, host_prefix)
         variant = F.pmod(i + k.cast("long"), F.lit(4))
         return (
             F.when(variant == 0, absolute)
@@ -114,7 +121,7 @@ def synth_documents(
             .when(
                 variant == 3,  # uppercase scheme (urlparse lowercases it)
                 F.concat(
-                    F.lit("HTTP://site"), th.cast("string"), F.lit(".test/page?n="),
+                    F.lit(f"HTTP://{host_prefix}"), th.cast("string"), F.lit(".test/page?n="),
                     t.cast("string"),
                 ),
             )
@@ -137,7 +144,7 @@ def synth_documents(
     intro = F.array(_text_span(F.concat(F.lit("page "), i.cast("string")), F.lit(0)))
     private_link = F.when(
         F.pmod(i, F.lit(10)) == 0,
-        F.array(_link_span(_private_url(i, h), F.lit(1 + 2 * show))),
+        F.array(_link_span(_private_url(i, h, host_prefix), F.lit(1 + 2 * show))),
     ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
     media = F.when(
         F.pmod(i, F.lit(3)) == 0,
@@ -150,7 +157,7 @@ def synth_documents(
     ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
 
     pages = rng.select(
-        _page_url(i, h).alias("doc_id"),
+        _page_url(i, h, host_prefix).alias("doc_id"),
         F.concat(intro, body, private_link, media).alias("spans"),
     )
 
@@ -159,7 +166,7 @@ def synth_documents(
     pi = F.col("pid")
     ph = _page_host(pi, hosts, seed)
     private_pages = priv_rng.select(
-        _private_url(pi, ph).alias("doc_id"),
+        _private_url(pi, ph, host_prefix).alias("doc_id"),
         F.array(_text_span(F.concat(F.lit("private "), pi.cast("string")), F.lit(0))).alias("spans"),
     )
     return pages.unionByName(private_pages)
@@ -172,6 +179,7 @@ def synth_seeds(
     seed: int = 42,
     n_seeds: int = 10,
     project: str = "bench",
+    host_prefix: str = "site",
 ) -> DataFrame:
     """Seed list: n_seeds pages spread across the id space, priorities 0-2
     (mirrors tests/test_task_queue.py priority bands)."""
@@ -183,16 +191,16 @@ def synth_seeds(
     df = spark.createDataFrame(rows, "project string, pid long, priority int, exetime double")
     h = _page_host(F.col("pid"), hosts, seed)
     return df.select(
-        "project", _page_url(F.col("pid"), h).alias("url"), "priority", "exetime"
+        "project", _page_url(F.col("pid"), h, host_prefix).alias("url"), "priority", "exetime"
     )
 
 
-def synth_robots(spark: SparkSession, hosts: int = 8) -> DataFrame:
+def synth_robots(spark: SparkSession, hosts: int = 8, host_prefix: str = "site") -> DataFrame:
     """Robots rules: '/private' disallowed on every host (longest-prefix
     match, like RobotFileParser's path rules — tornado_fetcher.py:289-324)."""
     rows = []
     for hidx in range(hosts):
-        host = f"site{hidx}.test"
+        host = f"{host_prefix}{hidx}.test"
         rows.append((host, "/private", False, 0.0))
         rows.append((host, "/", True, 0.0))
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)

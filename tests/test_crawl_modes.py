@@ -34,17 +34,18 @@ def snapshot(frontier):
     }
 
 
-def test_bloom_path_equals_exact_path(spark, corpus):
+@pytest.mark.parametrize("flt", ["bloom", "cuckoo"])
+def test_urlseen_path_equals_exact_path(spark, corpus, flt):
     seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS)
     robots = synth_robots(spark, hosts=HOSTS)
     exact = crawl(spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15)
-    bloomed = crawl(
+    filtered = crawl(
         spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15,
-        use_bloom=True, bloom_expected=4096,
+        use_bloom=True, bloom_expected=4096, urlseen_filter=flt,
     )
-    assert exact.rounds == bloomed.rounds
-    assert exact.selected_total == bloomed.selected_total
-    assert snapshot(exact.frontier) == snapshot(bloomed.frontier)
+    assert exact.rounds == filtered.rounds
+    assert exact.selected_total == filtered.selected_total
+    assert snapshot(exact.frontier) == snapshot(filtered.frontier)
 
 
 def test_checkpoint_resume_identical(spark, corpus, tmp_path_factory):

@@ -65,6 +65,81 @@ def test_rate_update_unthrottles_next_rounds(spark):
     assert max(waves[3:]) > 2  # unthrottled after the update
 
 
+def test_project_delete_drops_tasks_and_results(spark):
+    """F7 at project granularity (scheduler.py:630-647 _check_delete): a
+    STOP'd project in group 'delete' loses its frontier rows, results, and
+    accounting at the round boundary; other projects are untouched."""
+    from pyspark.sql import functions as F
+
+    docs = synth_documents(spark, total=TOTAL, show=4, hosts=HOSTS).cache()
+    docs.count()
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=3, project="alpha").unionByName(
+        synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=3, project="beta")
+    )
+    cfg = RoundConfig(
+        projects={"alpha": {"rate": 1e9, "burst": 1e9}, "beta": {"rate": 1e9, "burst": 1e9}},
+        loop_limit=10000,
+    )
+    solo = crawl(
+        spark, synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=3, project="alpha"),
+        docs, RoundConfig(projects={"alpha": {"rate": 1e9, "burst": 1e9}}, loop_limit=10000),
+        robots=None, max_rounds=30,
+    )
+    report = crawl(
+        spark, seeds, docs, cfg, robots=None, max_rounds=30,
+        project_updates={12: {"beta": {"status": "STOP", "group": "delete"}}},
+    )
+    docs.unpersist()
+    per_project = dict(
+        report.frontier.groupBy("project").count().collect()
+    )
+    assert "beta" not in per_project  # taskdb.drop
+    assert per_project["alpha"] == solo.frontier.count()  # alpha untouched
+    assert report.results.where(F.col("project") == "beta").count() == 0  # resultdb.drop
+
+
+def test_project_delete_cuckoo_unlearns_and_recreate_recrawls(spark):
+    """Delete + re-create under the cuckoo URL-seen: the deleted project's
+    taskids are unlearned (delete_df), so the re-created project's reseed
+    re-crawls its whole graph through the definitely-new fast path — and
+    the no-false-negative guarantee holds throughout (no frontier row is
+    ever double-inserted)."""
+    from pyspark.sql import functions as F
+
+    # beta lives in a DISJOINT host universe (doc_id must be unique across
+    # the documents table — the simulated fetch is a lookup join)
+    docs_a = synth_documents(spark, total=TOTAL, show=4, hosts=HOSTS, seed=42)
+    docs_b = synth_documents(spark, total=TOTAL, show=4, hosts=HOSTS, seed=77, host_prefix="beta")
+    docs = docs_a.unionByName(docs_b).cache()
+    docs.count()
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=3, seed=42, project="alpha").unionByName(
+        synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=3, seed=77, project="beta", host_prefix="beta")
+    )
+    cfg = RoundConfig(
+        projects={"alpha": {"rate": 1e9, "burst": 1e9}, "beta": {"rate": 1e9, "burst": 1e9}},
+        loop_limit=10000,
+    )
+    report = crawl(
+        spark, seeds, docs, cfg, robots=None, max_rounds=45,
+        use_bloom=True, bloom_expected=4096, urlseen_filter="cuckoo",
+        project_updates={
+            12: {"beta": {"status": "STOP", "group": "delete"}},
+            13: {"beta": {"status": "RUNNING", "group": "", "rate": 1e9, "burst": 1e9,
+                          "reseed": True}},
+        },
+    )
+    docs.unpersist()
+    per_project = dict(report.frontier.groupBy("project").count().collect())
+    # beta's graph (seed=77 corpus) fully re-crawled after delete+reseed
+    assert per_project.get("beta", 0) > 0
+    # no duplicate (project, taskid) anywhere — the definitely-new path
+    # never double-inserted despite delete+re-add churn in the filter
+    dupes = (
+        report.frontier.groupBy("project", "taskid").count().where(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
 def test_reseed_alone_recrawls(spark):
     """ADVICE r02: a bare {"reseed": True} delta (no itag bump) must
     re-issue seeds WITH force_update — the reference 'run' button sets

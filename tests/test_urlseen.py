@@ -82,16 +82,138 @@ def test_hex_parse_vectorized_equivalent_and_faster():
     u1, u2 = _hashes(up)
     assert (u1 == r1).all() and (u2 == r2).all()
 
-    # micro-bench (min-of-3 each; generous margin over the >=5x ask)
+    # micro-bench (min-of-5 each: a loaded box once measured min-of-3 at
+    # 4.9x purely from scheduler noise; the idle-box ratio is ~20x+)
     t_fast = min(
         (lambda t0=time.perf_counter(): (_hashes(ids), time.perf_counter() - t0)[1])()
-        for _ in range(3)
+        for _ in range(5)
     )
     t_slow = min(
         (lambda t0=time.perf_counter(): (_hashes_scalar(ids), time.perf_counter() - t0)[1])()
-        for _ in range(3)
+        for _ in range(5)
     )
     assert t_slow / t_fast >= 5, f"speedup {t_slow / t_fast:.1f}x"
+
+
+# --- cuckoo variant (north rule: "bloom/cuckoo"; delete-capable) ------------
+
+
+@pytest.fixture(scope="module")
+def cuckoo_and_sets(spark):
+    from pyspider_spark.operators.urlseen import ShardedCuckoo
+
+    seen = spark.range(0, 5000).select(
+        F.md5(F.concat(F.lit("http://seen.test/p"), F.col("id").cast("string"))).alias("taskid")
+    )
+    unseen = spark.range(0, 5000).select(
+        F.md5(F.concat(F.lit("http://unseen.test/p"), F.col("id").cast("string"))).alias("taskid")
+    )
+    ck = ShardedCuckoo(n_shards=8, expected_per_shard=2000)
+    ck.add_df(seen)
+    return ck, seen, unseen
+
+
+def test_cuckoo_no_false_negatives(spark, cuckoo_and_sets):
+    ck, seen, _ = cuckoo_and_sets
+    probe = ck.might_contain_udf(spark)
+    assert seen.where(~probe(F.col("taskid"))).count() == 0
+
+
+def test_cuckoo_false_positive_rate_bounded(spark, cuckoo_and_sets):
+    ck, _, unseen = cuckoo_and_sets
+    probe = ck.might_contain_udf(spark)
+    fp = unseen.where(probe(F.col("taskid"))).count()
+    # 16-bit fingerprints, 2 buckets x 4 slots → theoretical fp ~8/2^16
+    assert fp / 5000 < 0.01
+
+
+def test_cuckoo_split_candidates_sound(spark, cuckoo_and_sets):
+    ck, seen, unseen = cuckoo_and_sets
+    cands = seen.unionByName(unseen)
+    definitely_new, maybe_seen = ck.split_candidates(cands)
+    assert definitely_new.join(seen, "taskid", "left_semi").count() == 0
+    assert definitely_new.count() + maybe_seen.count() == 10000
+
+
+def test_cuckoo_delete_unlearns_only_deleted(spark):
+    """What the bloom cannot do: after deleting set B, B's taskids probe
+    unseen again (modulo fp-aliasing false positives) while every survivor
+    in A keeps the hard no-false-negative guarantee."""
+    from pyspider_spark.operators.urlseen import ShardedCuckoo
+
+    a = spark.range(0, 2000).select(F.md5(F.concat(F.lit("keep/"), F.col("id").cast("string"))).alias("taskid"))
+    b = spark.range(0, 2000).select(F.md5(F.concat(F.lit("drop/"), F.col("id").cast("string"))).alias("taskid"))
+    ck = ShardedCuckoo(n_shards=4, expected_per_shard=2000)
+    ck.add_df(a.unionByName(b))
+    ck.delete_df(b)
+    probe = ck.might_contain_udf(spark)
+    assert a.where(~probe(F.col("taskid"))).count() == 0  # survivors intact
+    still = b.where(probe(F.col("taskid"))).count()
+    assert still / 2000 < 0.01  # unlearned (residue = fp aliasing only)
+
+
+def test_cuckoo_readd_is_idempotent_then_delete_clears(spark):
+    """Re-adding the whole round delta each round must not accumulate
+    copies (the crawl loop re-adds known ids — a no-op, as with the
+    bloom); a single delete afterwards fully unlearns."""
+    from pyspider_spark.operators.urlseen import ShardedCuckoo
+
+    a = spark.range(0, 500).select(F.md5(F.col("id").cast("string")).alias("taskid"))
+    ck = ShardedCuckoo(n_shards=2, expected_per_shard=1000)
+    ck.add_df(a)
+    filled_once = int((ck.tables != 0).sum())
+    ck.add_df(a)
+    assert int((ck.tables != 0).sum()) == filled_once  # no duplicate copies
+    ck.delete_df(a)
+    probe = ck.might_contain_udf(spark)
+    assert a.where(probe(F.col("taskid"))).count() == 0
+
+
+def test_cuckoo_overload_spills_to_stash_without_false_negatives(spark):
+    """Past ~0.95 load the eviction walk gives up and overflows into the
+    per-shard stash — membership must still never lie 'unseen'."""
+    from pyspider_spark.operators.urlseen import ShardedCuckoo
+
+    ck = ShardedCuckoo(n_shards=4, expected_per_shard=256)
+    cap = ck.n_shards * ck.nb * ck.tables.shape[2]
+    n = int(cap * 1.07)  # force at least cap*0.07 overflow somewhere
+    xs = spark.range(0, n).select(F.md5(F.col("id").cast("string")).alias("taskid"))
+    ck.add_df(xs)
+    assert sum(len(s) for s in ck.stashes) > 0  # the overflow path ran
+    probe = ck.might_contain_udf(spark)
+    assert xs.where(~probe(F.col("taskid"))).count() == 0
+
+
+def test_cuckoo_alias_delete_hazard_and_readd_repair():
+    """Two DISTINCT taskids that alias to one (bucket, fingerprint) share a
+    single stored copy (inserts are idempotent by (bucket, fp)); deleting
+    one therefore unlearns the other — the hazard the crawl's post-delete
+    ``add_df(surviving frontier)`` repair closes. Demonstrated
+    deterministically at the shard level with a crafted alias pair."""
+    import numpy as np
+
+    from pyspider_spark.operators.urlseen import (
+        _cuckoo_contains,
+        _delete_shard,
+        _insert_shard,
+    )
+
+    nb = 1 << 8
+    table = np.zeros((nb, 4), dtype=np.uint16)
+    stash: list = []
+    empty = np.asarray([], dtype=np.uint64)
+    fp = np.array([7], dtype=np.uint16)
+    i1 = np.array([3], dtype=np.int64)
+
+    _insert_shard(table, stash, fp, i1, nb)  # taskid A
+    _insert_shard(table, stash, fp, i1, nb)  # taskid B — aliases A; no-op
+    assert int((table != 0).sum()) == 1  # one shared copy
+
+    _delete_shard(table, stash, fp, i1, nb)  # project-delete takes B
+    assert not _cuckoo_contains(table, empty, fp, i1, nb)[0]  # A unlearned!
+
+    _insert_shard(table, stash, fp, i1, nb)  # repair: re-add survivors
+    assert _cuckoo_contains(table, empty, fp, i1, nb)[0]
 
 
 def test_hex_parse_synthetic_taskids():
