@@ -62,6 +62,11 @@ class RoundConfig:
     # downstream of FETCHED_COLS is shared between the modes
     fetch_mode: str = "simulated"
     fetch_threads: int = 16  # per-partition HTTP concurrency in real mode
+    # X5 live mode (real fetch only): fetch each new host's /robots.txt
+    # once per TTL window instead of requiring a rules table
+    # (tornado_fetcher.py:289-324; cache = operators/robots_live)
+    robots_live: bool = False
+    robots_user_agent: str | None = None  # robots fetch UA (default kernel UA)
 
     def clock(self, round_no: int) -> float:
         return self.start_time + round_no * self.round_interval
@@ -78,6 +83,9 @@ class RoundState:
     # round's own deltas (inserted - finished + restarts) — the frontier is
     # never re-aggregated per round (None ⇒ recount once, e.g. on resume)
     qsizes: dict[str, int] | None = None
+    # robots_live mode: the per-host rules cache (a DataFrame handle, not
+    # driver rows); rebuilt lazily after resume — it is only a cache
+    robots_cache: object | None = None
 
     def runtime(self) -> "ProjectsState":
         from pyspider_spark.operators.projects import ProjectsState
@@ -205,6 +213,30 @@ def run_round(
     )
 
     # X5 → X2 → X1/X7/X8 → X4 → P1/P7
+    if config.robots_live and config.fetch_mode == "real":
+        from pyspider_spark.operators.robots_live import RobotsCache
+
+        if state.robots_cache is None:
+            state.robots_cache = RobotsCache(
+                wave.sparkSession,
+                **({"user_agent": config.robots_user_agent}
+                   if config.robots_user_agent else {}),
+            )
+        # only hosts of tasks that opted into the gate fetch robots.txt;
+        # the request reuses the task's origin (scheme + port — the host
+        # column alone drops both)
+        from pyspider_spark.operators.robots_live import origin_of
+
+        opted = wave_all.where(F.coalesce(F.col("fetch").robots_txt, F.lit(False)))
+        live = state.robots_cache.rules_for(
+            opted.select("host", origin_of(F.col("url")).alias("origin")), now
+        )
+        if robots is None:
+            robots = live
+        else:
+            # a table-provided rules DF carries fetched_at; the live cache
+            # view doesn't — align on the gate's 3 columns before the union
+            robots = robots.select("host", "path_prefix", "allow").unionByName(live)
     gated = robots_gate(wave_all, robots)
     if config.fetch_mode == "real":
         from pyspider_spark.operators.fetch_real import real_fetch_stage
@@ -382,6 +414,7 @@ def run_round(
         round_no=round_no + 1,
         projects_state=state.projects_state,
         qsizes=new_qsizes,
+        robots_cache=state.robots_cache,
     )
     return RoundOutput(
         new_state, wave, processed, results, selected_counts, metrics,
