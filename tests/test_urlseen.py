@@ -98,6 +98,77 @@ def test_hex_parse_vectorized_equivalent_and_faster():
 # --- cuckoo variant (north rule: "bloom/cuckoo"; delete-capable) ------------
 
 
+def test_cuckoo_random_add_delete_repair_property():
+    """Hypothesis: under ANY interleaving of the crawl's filter ops —
+    add a batch, delete a batch of live keys, re-add the survivors (the
+    alias repair plans/crawl.py performs after every delete) — membership
+    never lies 'unseen' for a live key. Pure numpy (the same shard kernels
+    the Spark jobs run), so hundreds of sequences are cheap."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspider_spark.operators.urlseen import (
+        ShardedCuckoo,
+        _cuckoo_contains,
+        _cuckoo_keys,
+        _delete_shard,
+        _insert_shard,
+    )
+
+    POOL = [hashlib.md5(f"u{i}".encode()).hexdigest() for i in range(400)]
+
+    def apply_local(ck, ids, op):
+        shard, fp, i1 = _cuckoo_keys(pd.Series(list(ids)), ck.n_shards, ck.nb)
+        for s in np.unique(shard):
+            m = shard == s
+            if op == "add":
+                _insert_shard(ck.tables[s], ck.stashes[s], fp[m], i1[m], ck.nb)
+            else:
+                _delete_shard(ck.tables[s], ck.stashes[s], fp[m], i1[m], ck.nb)
+
+    def contains_local(ck, ids):
+        ids = list(ids)
+        if not ids:
+            return np.zeros(0, dtype=bool)
+        shard, fp, i1 = _cuckoo_keys(pd.Series(ids), ck.n_shards, ck.nb)
+        out = np.zeros(len(ids), dtype=bool)
+        for s in np.unique(shard):
+            m = shard == s
+            out[m] = _cuckoo_contains(
+                ck.tables[s], np.asarray(ck.stashes[s], dtype=np.uint64),
+                fp[m], i1[m], ck.nb,
+            )
+        return out
+
+    op_strategy = st.lists(
+        st.tuples(st.sampled_from(["add", "delete"]), st.randoms(use_true_random=False)),
+        min_size=1, max_size=6,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(ops=op_strategy)
+    def run(ops):
+        ck = ShardedCuckoo(n_shards=4, expected_per_shard=256)
+        live: set = set()
+        for kind, rng in ops:
+            if kind == "add":
+                batch = set(rng.sample(POOL, rng.randint(0, 120)))
+                apply_local(ck, batch, "add")
+                live |= batch
+            elif live:
+                doomed = set(rng.sample(sorted(live), rng.randint(1, len(live))))
+                apply_local(ck, doomed, "delete")
+                live -= doomed
+                apply_local(ck, live, "add")  # the alias repair
+            assert contains_local(ck, live).all(), "false negative on a live key"
+
+    run()
+
+
 @pytest.fixture(scope="module")
 def cuckoo_and_sets(spark):
     from pyspider_spark.operators.urlseen import ShardedCuckoo
