@@ -118,9 +118,16 @@ def resume(
     robots: DataFrame | None = None,
     max_rounds: int = 1000,
     collect_results: bool = True,
+    use_bloom: bool = False,
+    bloom_expected: int = 1 << 20,
+    urlseen_filter: str = "bloom",
 ) -> CrawlReport:
     """Continue from the last committed snapshot (manifest flip is atomic,
-    so this is always a consistent round boundary)."""
+    so this is always a consistent round boundary). With ``use_bloom`` the
+    URL-seen prefilter is rebuilt from the recovered frontier (one
+    distributed pass) — the filter is a cache, not state, so it is never
+    checkpointed; without it a resumed 10^10-row frontier would fall back
+    to exact-anti-join-only routing (correct, but loses the fast path)."""
     manifest = store.read_manifest()
     if manifest is None:
         raise ValueError("nothing to resume: no manifest committed")
@@ -129,7 +136,17 @@ def resume(
         budget=politeness.BudgetState.from_dict(manifest["budget_state"]),
         round_no=manifest["round_no"] + 1,
     )
-    return _loop(spark, state, documents, config, robots, max_rounds, store, collect_results, None)
+    bloom = None
+    if use_bloom:
+        from pyspider_spark.operators.urlseen import ShardedBloom, ShardedCuckoo
+
+        cls = {"bloom": ShardedBloom, "cuckoo": ShardedCuckoo}[urlseen_filter]
+        bloom = cls(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
+        bloom.add_df(state.frontier)
+    return _loop(
+        spark, state, documents, config, robots, max_rounds, store, collect_results,
+        None, bloom=bloom,
+    )
 
 
 def _loop(

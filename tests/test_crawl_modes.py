@@ -63,6 +63,17 @@ def test_checkpoint_resume_identical(spark, corpus, tmp_path_factory):
     resumed = resume(spark, store, corpus, mk_cfg(), robots=robots, max_rounds=15)
     assert snapshot(full.frontier) == snapshot(resumed.frontier)
     assert full.rounds == resumed.rounds
+    # resume with the URL-seen prefilter rebuilt from the recovered
+    # frontier (the filter is a cache, never checkpointed) must land on
+    # the same frontier; cuckoo exercises the path for both kinds (the
+    # resume code is identical up to the filter class)
+    store2 = SnapshotStore(str(tmp_path_factory.mktemp("ckpt_ck")), spark)
+    crawl(spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=3,
+          store=store2, use_bloom=True, bloom_expected=4096, urlseen_filter="cuckoo")
+    resumed_f = resume(spark, store2, corpus, mk_cfg(), robots=robots,
+                       max_rounds=15, use_bloom=True, bloom_expected=4096,
+                       urlseen_filter="cuckoo")
+    assert snapshot(full.frontier) == snapshot(resumed_f.frontier)
     # results log = every round's results, no duplicates
     results = store.read_log("results")
     assert results.count() == full.results_total
