@@ -310,6 +310,7 @@ def select_wave(
     now: float,
     round_no: int,
     max_per_host: dict[str, int] | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """F1 + F8 (+ per-host politeness cap): pick this round's fetch wave.
 
@@ -320,6 +321,16 @@ def select_wave(
     `quota`. The union-of-per-bucket-top-k always contains the global top-k,
     so this equals the reference's single-heap pop order while never sorting
     a whole partition of a 10^10-row frontier.
+
+    Hot-host skew (the north rule's salting): with ``salt_buckets`` > 1
+    the per-host rank itself is two-phase — rank within
+    (project, host, salt) where salt = xxhash64(taskid) mod S, prune each
+    salt bucket to the per-host cap, then the exact (project, host) rank
+    over the ≤ S × cap pruned union. Any row in a host's true top-cap is
+    in its own salt bucket's top-cap, so the result is bit-identical —
+    but a 50%-hot host's ready rows now sort in S parallel tasks instead
+    of one, and the single-task sort bound drops from O(hot-host rows) to
+    O(hot-host rows / S).
 
     Selected rows get a lease (status=LEASED, lease_until=now+600) and a
     wave_rank used for deterministic follow sequencing.
@@ -339,6 +350,21 @@ def select_wave(
         (F.col("status") == ACTIVE) & (F.col("schedule").exetime <= F.lit(now))
     ).join(qdf, "project", "inner").where(F.col("quota") > 0)
 
+    if salt_buckets > 1:
+        salt_w = Window.partitionBy("project", "host", "_salt").orderBy(
+            F.desc(F.col("schedule").priority), F.asc("seq")
+        )
+        ready = (
+            ready.withColumn(
+                "_salt", F.pmod(F.xxhash64("taskid"), F.lit(int(salt_buckets)))
+            )
+            .withColumn("_salt_rank", F.row_number().over(salt_w))
+            .where(
+                (F.col("_salt_rank") <= F.col("host_cap"))
+                & (F.col("_salt_rank") <= F.col("quota"))
+            )
+            .drop("_salt", "_salt_rank")
+        )
     host_w = Window.partitionBy("project", "host").orderBy(
         F.desc(F.col("schedule").priority), F.asc("seq")
     )

@@ -62,6 +62,10 @@ class RoundConfig:
     # downstream of FETCHED_COLS is shared between the modes
     fetch_mode: str = "simulated"
     fetch_threads: int = 16  # per-partition HTTP concurrency in real mode
+    # hot-host skew salting in the select rank (north rule): S-way
+    # two-phase per-host top-k; 1 disables (exact either way — see
+    # frontier.select_wave)
+    select_salt_buckets: int = 16
     # X5 live mode (real fetch only): fetch each new host's /robots.txt
     # once per TTL window instead of requiring a rules table
     # (tornado_fetcher.py:289-324; cache = operators/robots_live)
@@ -199,7 +203,9 @@ def run_round(
     from pyspider_spark.operators.projects import join_crawl_config
 
     wave = join_crawl_config(
-        select_wave(f, quotas, now, round_no, max_per_host), config.projects
+        select_wave(f, quotas, now, round_no, max_per_host,
+                    salt_buckets=config.select_salt_buckets),
+        config.projects,
     ).persist()
 
     # F16/P9: synthetic tasks (cronjob, messages) join the fetch wave but

@@ -72,6 +72,35 @@ def test_select_wave_no_frontier_wide_sort(spark):
     assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
 
 
+def test_select_wave_salted_equals_unsalted(spark):
+    """Hot-host salting (north rule) must be a pure execution-shape change:
+    the S-way two-phase per-host rank returns the bit-identical wave —
+    same taskids, same wave_ranks — with and without a per-host cap.
+    Hosts here are skewed (synth host 0 takes ~50% of pages)."""
+    from pyspider_spark.operators.frontier import select_wave
+    from pyspider_spark.plans.crawl import bootstrap
+    from pyspider_spark.plans.round import RoundConfig
+    from pyspider_spark.synth import synth_seeds
+
+    seeds = synth_seeds(spark, total=5000, hosts=2, n_seeds=300)
+    state = bootstrap(spark, seeds, RoundConfig(projects={"bench": {}}))
+    frontier = state.frontier.persist()
+
+    def key(df):
+        return sorted(
+            (r["taskid"], r["wave_rank"])
+            for r in df.select("taskid", "wave_rank").collect()
+        )
+
+    for cap in (None, {"bench": 7}):
+        base = select_wave(frontier, {"bench": 50}, now=0.0, round_no=0,
+                           max_per_host=cap, salt_buckets=1)
+        salted = select_wave(frontier, {"bench": 50}, now=0.0, round_no=0,
+                             max_per_host=cap, salt_buckets=16)
+        assert key(base) == key(salted)
+    frontier.unpersist()
+
+
 def test_crawl_round_driver_action_budget(spark, monkeypatch):
     """Per-round driver-barrier budget (VERDICT r01 item 5): in memory mode
     without results collection a round may trigger at most ONE collect (the
