@@ -60,6 +60,13 @@ def parse_robots_txt(content: str, user_agent: str = DEFAULT_USER_AGENT) -> list
             if val:
                 rules.append((val, key == "allow"))
             # empty Disallow: allow-all — no rule row
+        else:
+            # any other directive (Crawl-delay, Request-rate, Sitemap, ...)
+            # also closes the user-agent run: RobotFileParser starts a NEW
+            # entry at the next User-agent line after one, so
+            # 'UA: a / Crawl-delay: 1 / UA: b / Disallow: /x' must NOT
+            # merge a and b into one group
+            in_group_body = True
     if agents or rules:
         groups.append((agents, rules))
 

@@ -187,11 +187,15 @@ class ShardedBloom:
 # ---------------------------------------------------------------------------
 # Cuckoo variant (north rule: "bloom/cuckoo URL-seen"). Same no-false-negative
 # contract and split_candidates API as ShardedBloom, PLUS deletion — which a
-# bloom structurally cannot do. Deletion is what the reference's project-delete
-# flow needs (scheduler.py:630-647 `_check_delete` drops a project's taskdb
-# rows): with a bloom, a deleted project's taskids stay "seen" forever, so a
-# re-created project would silently skip every URL it ever crawled; the cuckoo
-# unlearns them. Standard cuckoo-filter construction (Fan et al. 2014, public):
+# bloom structurally cannot do. Deletion serves the reference's project-delete
+# flow (scheduler.py:630-647 `_check_delete` drops a project's taskdb rows).
+# Correctness note: bloom mode survives a delete too — a deleted project's
+# taskids stay bloom-positive, but positives always re-check via the exact
+# (project, taskid) anti-join against the frontier, whose rows the delete
+# dropped, so a re-created project still re-crawls. What the bloom LOSES is
+# the definitely-new fast path (everything routes through the exact join);
+# the cuckoo unlearns the taskids and keeps the prefilter fast path intact.
+# Standard cuckoo-filter construction (Fan et al. 2014, public):
 # 16-bit fingerprints, 4-slot buckets, partner bucket i2 = i1 XOR H(fp) over a
 # power-of-two bucket count (involutive, so eviction can always re-derive the
 # alternate bucket from the stored fingerprint alone).
@@ -200,15 +204,21 @@ class ShardedBloom:
 _FP_MULT = np.uint64(0x5BD1E995)  # odd multiplier for the fp->bucket-offset map
 
 
-def _cuckoo_keys(taskids: pd.Series, n_shards: int, nb: int):
-    """(shard, fp, i1) per taskid, all vectorized. fp is 16-bit nonzero
-    (0 marks an empty slot); shard comes from high h1 bits so it is
-    independent of the low bits that pick the bucket."""
-    h1, h2 = _hashes(taskids)
-    shard = ((h1 >> np.uint64(44)) % np.uint64(n_shards)).astype(np.int64)
+def _fp_i1(h1: np.ndarray, h2: np.ndarray, nb: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fingerprint, primary bucket) from the two 60-bit hashes. fp is
+    16-bit nonzero (0 marks an empty slot)."""
     fp = (h2 & np.uint64(0xFFFF)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)
     i1 = (h1 & np.uint64(nb - 1)).astype(np.int64)
+    return fp, i1
+
+
+def _cuckoo_keys(taskids: pd.Series, n_shards: int, nb: int):
+    """(shard, fp, i1) per taskid, all vectorized. Shard comes from high
+    h1 bits so it is independent of the low bits that pick the bucket."""
+    h1, h2 = _hashes(taskids)
+    shard = ((h1 >> np.uint64(44)) % np.uint64(n_shards)).astype(np.int64)
+    fp, i1 = _fp_i1(h1, h2, nb)
     return shard, fp, i1
 
 

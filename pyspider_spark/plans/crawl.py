@@ -52,6 +52,65 @@ def _config_itags(config: RoundConfig) -> dict[str, str] | None:
     return itags or None
 
 
+def group_has_delete(group) -> bool:
+    """Membership test for the 'delete' group, tokenizing on non-word runs
+    like the reference's projectdb.split_group (re.split(r"\\W+")): 'foo
+    delete', 'foo, delete' and 'delete' all match; 'not-deleted' does not."""
+    import re
+
+    return "delete" in re.split(r"\W+", str(group or "").lower())
+
+
+def delete_projects(state, config, doomed, bloom=None, all_results=None,
+                    pending_extra=None, pending_syn=None):
+    """Drop every trace of the doomed projects at a round boundary
+    (scheduler.py:630-647 _check_delete + taskdb/resultdb.drop): frontier
+    rows, POSTPONED force_update replays and pending synthetic/reseed
+    candidates (which would otherwise re-insert orphan rows for a project
+    with no config/quota entry and skew qsizes), queue accounting,
+    politeness bucket, FSM runtime, collected results, and — in cuckoo
+    URL-seen mode — the project's filter entries (unlearn).
+
+    Returns the updated (all_results, pending_extra, pending_syn)."""
+    for p in doomed:
+        if bloom is not None and hasattr(bloom, "delete_df"):
+            # unlearn ONLY taskids no other project still holds — a URL
+            # shared across projects must stay seen (the filter is
+            # taskid-keyed, one stored copy per taskid)
+            gone = state.frontier.where(F.col("project") == p).select("taskid")
+            kept = state.frontier.where(F.col("project") != p).select("taskid")
+            bloom.delete_df(gone.join(kept, "taskid", "left_anti"))
+        state.frontier = state.frontier.where(F.col("project") != p)
+        if state.postponed is not None:
+            state.postponed = state.postponed.where(F.col("project") != p)
+        if pending_extra is not None:
+            pending_extra = pending_extra.where(F.col("project") != p)
+        if pending_syn is not None:
+            pending_syn = pending_syn.where(F.col("project") != p)
+        config.projects.pop(p, None)
+        if state.qsizes is not None:
+            state.qsizes.pop(p, None)
+        state.budget.buckets.pop(p, None)
+        if state.projects_state is not None:
+            state.projects_state.runtimes.pop(p, None)
+        if all_results is not None:
+            # memory-mode resultdb drop; in store mode historical appended
+            # rounds are immutable — the drop applies to the live view, as
+            # with the reference's resultdb.drop
+            all_results = all_results.where(F.col("project") != p)
+    if doomed and bloom is not None and hasattr(bloom, "delete_df"):
+        # soundness repair: with idempotent inserts two distinct taskids
+        # that alias to the same (bucket, fingerprint) share ONE stored
+        # copy, so the delete above may have unlearned a surviving
+        # project's taskid too — and a false negative would double-insert
+        # on the definitely-new fast path. Re-adding the whole surviving
+        # frontier (idempotent ⇒ no-op except for exactly the aliased
+        # losers) restores the no-false-negative guarantee. O(frontier)
+        # vectorized hashing once per delete event — rare, admin-triggered.
+        bloom.add_df(state.frontier.select("taskid"))
+    return all_results, pending_extra, pending_syn
+
+
 def bootstrap(spark: SparkSession, seeds: DataFrame, config: RoundConfig) -> RoundState:
     """Round -1: seeds become the initial frontier (scheduler.on_new_request
     for each seed; all unseen ⇒ plain inserts)."""
@@ -185,40 +244,13 @@ def _loop(
             # the batch analogue applies it at this round boundary.
             doomed = [
                 p for p, c in list(config.projects.items())
-                if c.get("status") == "STOP"
-                and "delete" in str(c.get("group") or "").lower().split(",")
+                if c.get("status") == "STOP" and group_has_delete(c.get("group"))
             ]
-            for p in doomed:
-                if bloom is not None and hasattr(bloom, "delete_df"):
-                    # unlearn ONLY taskids no other project still holds —
-                    # a URL shared across projects must stay seen (the
-                    # filter is taskid-keyed, one stored copy per taskid)
-                    gone = state.frontier.where(F.col("project") == p).select("taskid")
-                    kept = state.frontier.where(F.col("project") != p).select("taskid")
-                    bloom.delete_df(gone.join(kept, "taskid", "left_anti"))
-                state.frontier = state.frontier.where(F.col("project") != p)
-                config.projects.pop(p, None)
-                if state.qsizes is not None:
-                    state.qsizes.pop(p, None)
-                state.budget.buckets.pop(p, None)
-                if state.projects_state is not None:
-                    state.projects_state.runtimes.pop(p, None)
-                if all_results is not None:
-                    # memory-mode resultdb drop; in store mode historical
-                    # appended rounds are immutable — the drop applies to
-                    # the live view, as with the reference's resultdb.drop
-                    all_results = all_results.where(F.col("project") != p)
-            if doomed and bloom is not None and hasattr(bloom, "delete_df"):
-                # soundness repair: with idempotent inserts two distinct
-                # taskids that alias to the same (bucket, fingerprint) share
-                # ONE stored copy, so the delete above may have unlearned a
-                # surviving project's taskid too — and a false negative
-                # would double-insert on the definitely-new fast path.
-                # Re-adding the whole surviving frontier (idempotent ⇒
-                # no-op except for exactly the aliased losers) restores the
-                # no-false-negative guarantee. O(frontier) vectorized
-                # hashing once per delete event — rare and admin-triggered.
-                bloom.add_df(state.frontier.select("taskid"))
+            if doomed:
+                all_results, pending_extra, pending_syn = delete_projects(
+                    state, config, doomed, bloom=bloom, all_results=all_results,
+                    pending_extra=pending_extra, pending_syn=pending_syn,
+                )
             if reseed_projects and seeds is not None:
                 re_cands = candidates_from_seeds(
                     seeds.where(F.col("project").isin(reseed_projects)),

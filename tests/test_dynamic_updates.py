@@ -65,6 +65,54 @@ def test_rate_update_unthrottles_next_rounds(spark):
     assert max(waves[3:]) > 2  # unthrottled after the update
 
 
+def test_group_has_delete_tokenizes_like_reference():
+    """ADVICE r04: projectdb.split_group uses re.split("\\W+"), so space-
+    and comma-separated groups must both trigger delete; word substrings
+    must not."""
+    from pyspider_spark.plans.crawl import group_has_delete
+
+    assert group_has_delete("delete")
+    assert group_has_delete("foo delete")
+    assert group_has_delete("foo, delete")
+    assert group_has_delete("foo,delete")
+    assert group_has_delete("DELETE")
+    assert not group_has_delete("not-deleted")
+    assert not group_has_delete("undelete")
+    assert not group_has_delete("")
+    assert not group_has_delete(None)
+
+
+def test_delete_projects_filters_postponed_and_pending(spark):
+    """ADVICE r04: project delete must also drop POSTPONED force_update
+    replays and pending synthetic/reseed candidates for the doomed project
+    — otherwise they re-insert orphan frontier rows next round."""
+    from pyspider_spark.operators import politeness
+    from pyspider_spark.plans.crawl import delete_projects
+    from pyspider_spark.plans.round import RoundConfig, RoundState
+    from pyspider_spark.types import FRONTIER_SCHEMA
+
+    frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+    post = spark.createDataFrame(
+        [("beta", "t1"), ("alpha", "t2")], "project string, taskid string"
+    )
+    pend = spark.createDataFrame(
+        [("beta", "t3"), ("alpha", "t4")], "project string, taskid string"
+    )
+    syn = spark.createDataFrame([("beta", "t5")], "project string, taskid string")
+    state = RoundState(
+        frontier=frontier, budget=politeness.BudgetState(), postponed=post,
+        qsizes={"alpha": 1, "beta": 2},
+    )
+    cfg = RoundConfig(projects={"alpha": {}, "beta": {"status": "STOP", "group": "x delete"}})
+    _, pend2, syn2 = delete_projects(
+        state, cfg, ["beta"], pending_extra=pend, pending_syn=syn
+    )
+    assert {r["project"] for r in state.postponed.collect()} == {"alpha"}
+    assert {r["project"] for r in pend2.collect()} == {"alpha"}
+    assert syn2.count() == 0
+    assert "beta" not in cfg.projects and "beta" not in state.qsizes
+
+
 def test_project_delete_drops_tasks_and_results(spark):
     """F7 at project granularity (scheduler.py:630-647 _check_delete): a
     STOP'd project in group 'delete' loses its frontier rows, results, and

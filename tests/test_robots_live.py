@@ -95,6 +95,23 @@ def test_parse_multi_agent_group():
     assert parse_robots_txt(txt, "gammabot/3.0") == []
 
 
+def test_parse_other_directive_closes_group():
+    """ADVICE r04: a non-Allow/Disallow directive (Crawl-delay, Sitemap...)
+    also ends the User-agent run — RobotFileParser starts a NEW entry at
+    the next User-agent line, so agents a and b must NOT merge into one
+    group here (and /x must not apply to a)."""
+    txt = "User-agent: alphabot\nCrawl-delay: 1\nUser-agent: betabot\nDisallow: /x"
+    assert parse_robots_txt(txt, "alphabot/2.0") == []
+    assert parse_robots_txt(txt, "betabot/1.0") == [("/x", False)]
+    # same for a directive between a group body and the next agent line
+    txt2 = (
+        "User-agent: alphabot\nDisallow: /a\nSitemap: http://h/x.xml\n"
+        "User-agent: betabot\nDisallow: /b"
+    )
+    assert parse_robots_txt(txt2, "alphabot/2.0") == [("/a", False)]
+    assert parse_robots_txt(txt2, "betabot/1.0") == [("/b", False)]
+
+
 # -- fetch + cache -----------------------------------------------------------
 
 def test_fetch_robots_df_rules_and_marker(spark, site):
