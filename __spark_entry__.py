@@ -469,13 +469,41 @@ def q_ann_lsh_topk(spark, sf):
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+_IVF_CENTROID_CACHE: dict = {}
+
+
+def _ivf_trained_centroids(sf_dir: str):
+    """K-means-trained IVF centroids for this corpus (VERDICT r04 item 3
+    — seeded-random cells unbalance on skewed real embeddings). Pure
+    numpy over a deterministic bounded parquet sample, so oracle_sql()
+    regenerates BIT-IDENTICAL literals from the same file; cached per
+    corpus dir (training reruns only on a new sf)."""
+    import os as _os
+
+    from pyspider_spark.functions.similarity import (
+        sample_embeddings_parquet,
+        train_ivf_centroids,
+    )
+
+    key = _os.path.normpath(sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        sample = sample_embeddings_parquet(f"{sf_dir}/embeddings.parquet", cap=20_000)
+        _IVF_CENTROID_CACHE[key] = train_ivf_centroids(sample, n_cells=16, seed=42)
+    return _IVF_CENTROID_CACHE[key]
+
+
 def q_ann_ivf_topk(spark, sf):
-    """IVF ANN top-k (oracled: same seeded centroid literals + probe list
-    in DuckDB; the complementary scale path to LSH — partition-pruned
-    cells instead of hash tables)."""
+    """IVF ANN top-k with TRAINED centroids (oracled: DuckDB re-trains the
+    same spherical k-means on the same parquet sample, so the centroid
+    literals + probe list match; the complementary scale path to LSH —
+    partition-pruned cells instead of hash tables)."""
     from pyspider_spark.functions.similarity import ann_topk_ivf
 
-    top = ann_topk_ivf(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
+    _literal_oracle_guard(sf)
+    top = ann_topk_ivf(
+        _t(spark, sf, "embeddings"), _QUERY_VEC, k=10,
+        centroids=_ivf_trained_centroids(sf),
+    )
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -638,7 +666,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": oracles.simhash_pairs_sql(max_hamming=6),
         "ann_lsh_topk": oracles.ann_lsh_topk_sql(_QUERY_VEC, k=10),
-        "ann_ivf_topk": oracles.ann_ivf_topk_sql(_QUERY_VEC, k=10),
+        "ann_ivf_topk": oracles.ann_ivf_topk_sql(
+            _QUERY_VEC, k=10, centroids=_ivf_trained_centroids(oracle_sf)
+        ),
         "embedding_near_dup": oracles.embedding_near_dup_sql(
             dims=64, threshold=0.8, plant_every=PLANT_EVERY
         ),

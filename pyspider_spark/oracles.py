@@ -159,18 +159,24 @@ def ann_ivf_topk_sql(
     query: list[float], k: int = 10,
     n_cells: int = 16, nprobe: int = 4, seed: int = 42,
     table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids=None,
 ) -> str:
-    """Mirror of functions.similarity.ann_topk_ivf: same seeded unit
-    centroids as literals, same nearest-cell assignment (1-indexed argmax
-    of cosine), same driver-computed probe list."""
+    """Mirror of functions.similarity.ann_topk_ivf: same centroids as
+    literals (trained via train_ivf_centroids when provided — pure numpy
+    from the same parquet sample, so bit-identical to the Spark side —
+    else the seeded fallback), same nearest-cell assignment (1-indexed
+    argmax of cosine), same driver-computed probe list."""
     from pyspider_spark.functions.similarity import ivf_centroids, ivf_probe_cells
 
-    centroids = ivf_centroids(len(query), n_cells, seed)
+    if centroids is None:
+        centroids = ivf_centroids(len(query), n_cells, seed)
     sims = ",\n                ".join(
         f"list_dot_product(v, {_vec_sql(c)}) / sqrt(list_dot_product(v, v))"
         for c in centroids
     )
-    probes = ", ".join(str(p) for p in ivf_probe_cells(query, n_cells, seed, nprobe))
+    probes = ", ".join(
+        str(p) for p in ivf_probe_cells(query, n_cells, seed, nprobe, centroids)
+    )
     q = _vec_sql(query)
     return f"""
         WITH base AS (

@@ -72,8 +72,11 @@ def delete_projects(state, config, doomed, bloom=None, all_results=None,
     URL-seen mode — the project's filter entries (unlearn).
 
     Returns the updated (all_results, pending_extra, pending_syn)."""
+    can_unlearn = bloom is not None and getattr(
+        bloom, "supports_delete", hasattr(bloom, "delete_df")
+    )
     for p in doomed:
-        if bloom is not None and hasattr(bloom, "delete_df"):
+        if can_unlearn:
             # unlearn ONLY taskids no other project still holds — a URL
             # shared across projects must stay seen (the filter is
             # taskid-keyed, one stored copy per taskid)
@@ -98,7 +101,7 @@ def delete_projects(state, config, doomed, bloom=None, all_results=None,
             # rounds are immutable — the drop applies to the live view, as
             # with the reference's resultdb.drop
             all_results = all_results.where(F.col("project") != p)
-    if doomed and bloom is not None and hasattr(bloom, "delete_df"):
+    if doomed and can_unlearn:
         # soundness repair: with idempotent inserts two distinct taskids
         # that alias to the same (bucket, fingerprint) share ONE stored
         # copy, so the delete above may have unlearned a surviving

@@ -80,6 +80,114 @@ def test_ann_ivf_recall_and_partition_pruning(spark, tmp_path):
     assert got <= set(probes)
 
 
+def test_ivf_trained_centroids_balance_and_recall(spark):
+    """VERDICT r04 item 3: on a deliberately SKEWED embedding set (tight
+    clusters of very different sizes + noise), k-means-trained centroids
+    must (a) keep cells balanced — max cell ≤ c × mean, where the seeded
+    random centroids blow through — and (b) retain ANN recall ≥ 0.9."""
+    from pyspider_spark.functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    # 3 tight clusters (700/250/50 members) + a whisper of noise: the
+    # regime where data-independent directions leave most cells empty
+    centers = rng.randn(3, 16) * 4
+    parts = [
+        centers[0] + 0.1 * rng.randn(700, 16),
+        centers[1] + 0.1 * rng.randn(250, 16),
+        centers[2] + 0.1 * rng.randn(50, 16),
+    ]
+    vecs = np.vstack(parts).astype("float32")
+    df = _vec_df(spark, vecs).cache()
+
+    n_cells = 8
+    trained = train_ivf_centroids(vecs, n_cells=n_cells, seed=42)
+    assert trained.shape == (n_cells, 16)
+    # determinism: same sample, same seed → bit-identical centroids
+    again = train_ivf_centroids(vecs, n_cells=n_cells, seed=42)
+    assert np.array_equal(trained, again)
+
+    counts = {
+        r["cell"]: r["n"]
+        for r in build_ivf_index(df, dims=16, n_cells=n_cells, centroids=trained)
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    mean = len(vecs) / n_cells
+    assert max(counts.values()) <= 3.0 * mean, f"unbalanced cells: {counts}"
+    assert len(counts) >= n_cells - 1  # (almost) every cell in use
+
+    recalls = []
+    for _ in range(3):
+        base = parts[rng.randint(3)]
+        query = [round(float(x), 5) for x in base[rng.randint(len(base))]]
+        exact = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
+        approx = {
+            r["vec_id"] for r in ann_topk_ivf(
+                df, query, k=10, n_cells=n_cells, nprobe=3, centroids=trained
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, f"recall {recalls}"
+
+
+def test_ivf_trained_stamp_guards_drift(spark):
+    """An index built with one training run must refuse queries planned
+    with different centroids (digest in the _ivf_params stamp)."""
+    import pytest
+
+    from pyspider_spark.functions.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16).astype("float32")
+    df = _vec_df(spark, vecs)
+    c1 = train_ivf_centroids(vecs, n_cells=4, seed=42)
+    c2 = train_ivf_centroids(vecs[:100], n_cells=4, seed=42)  # other sample
+    index = build_ivf_index(df, dims=16, n_cells=4, centroids=c1)
+    query = [float(x) for x in rng.randn(16)]
+    with pytest.raises(ValueError, match="_?centroid|params"):
+        ann_topk_ivf(index, query, k=5, n_cells=4, index=index, centroids=c2)
+    with pytest.raises(ValueError, match="params"):
+        ann_topk_ivf(index, query, k=5, n_cells=4, index=index)  # seeded ≠ trained
+    assert ann_topk_ivf(index, query, k=5, n_cells=4, index=index, centroids=c1).count() == 5
+
+
+def test_ivf_oracle_parity_trained(spark):
+    """The DuckDB oracle with trained-centroid literals must agree with
+    the Spark trained-IVF query on the real sf0.001 embeddings corpus
+    (the driver gate runs the same comparison at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    saved = dict(entry._ORACLE_STATE)
+    try:
+        spark_rows = entry.q_ann_ivf_topk(spark, sf).collect()
+    finally:
+        entry._ORACLE_STATE.update(saved)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    from pyspider_spark import oracles
+
+    sql = oracles.ann_ivf_topk_sql(
+        entry._QUERY_VEC, k=10, centroids=entry._ivf_trained_centroids(sf)
+    )
+    oracle_rows = con.execute(sql).fetchall()
+    assert [(r["vec_id"], r["cos_sim"]) for r in spark_rows] == [
+        (int(a), float(b)) for a, b in oracle_rows
+    ]
+
+
 def test_embedding_near_dup_planted_recall(spark):
     """Plant near-dups at cosine ~0.95; banded buckets must find >= 0.9 of
     them (full-signature bucketing found ~none)."""

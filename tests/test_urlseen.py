@@ -287,6 +287,126 @@ def test_cuckoo_alias_delete_hazard_and_readd_repair():
     assert _cuckoo_contains(table, empty, fp, i1, nb)[0]
 
 
+# --- distributed build/probe (VERDICT r04 item 1: 10^10-key posture) --------
+
+
+def _ids(spark, prefix, n):
+    return spark.range(0, n).select(
+        F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))).alias("taskid")
+    )
+
+
+def test_sizing_no_task_holds_more_than_one_shard(spark):
+    """THE 10^10-posture bound: with n_shards=64, no build or probe task
+    may ever hold more than ONE shard's filter bytes (the round-4 bloom
+    build materialized the full n_shards × m/8 bitmap in every input
+    partition). Proven with a max-accumulator fed from inside the shard
+    kernels — it records the largest per-task filter working set."""
+    from pyspider_spark.operators.urlseen import (
+        ShardedBloom,
+        ShardedCuckoo,
+        max_bytes_accumulator,
+    )
+
+    seen = _ids(spark, "seen/", 20_000).repartition(16)
+    cands = seen.unionByName(_ids(spark, "new/", 20_000))
+
+    bloom = ShardedBloom(n_shards=64, bits_per_key=12, expected_per_shard=1024)
+    shard_bytes = bloom.m // 8
+    acc = max_bytes_accumulator(spark)
+    bloom.add_df(seen, peak_acc=acc)
+    assert 0 < acc.value <= shard_bytes, f"build peak {acc.value} > shard {shard_bytes}"
+
+    acc2 = max_bytes_accumulator(spark)
+    new, maybe = bloom.split_candidates_sharded(cands, peak_acc=acc2)
+    assert new.count() + maybe.count() == 40_000
+    assert maybe.join(seen, "taskid", "left_semi").count() == 20_000  # no false neg
+    assert 0 < acc2.value <= shard_bytes, f"probe peak {acc2.value} > shard {shard_bytes}"
+
+    ck = ShardedCuckoo(n_shards=64, expected_per_shard=1024)
+    ck_shard_bytes = ck.tables[0].nbytes
+    stash_slack = 8 * 64  # stash entries ride along; bound them loosely
+    acc3 = max_bytes_accumulator(spark)
+    ck.add_df(seen, peak_acc=acc3)
+    assert 0 < acc3.value <= ck_shard_bytes + stash_slack
+
+    acc4 = max_bytes_accumulator(spark)
+    new_c, maybe_c = ck.split_candidates_sharded(cands, peak_acc=acc4)
+    assert new_c.count() + maybe_c.count() == 40_000
+    assert maybe_c.join(seen, "taskid", "left_semi").count() == 20_000
+    assert 0 < acc4.value <= ck_shard_bytes + stash_slack
+
+
+def test_sharded_probe_matches_broadcast_probe(spark):
+    """The shard-cogrouped probe path must agree bit-for-bit with the
+    broadcast-UDF probe for BOTH filter kinds (same hashes, same tables
+    — only the data movement differs)."""
+    from pyspider_spark.operators.urlseen import ShardedBloom, ShardedCuckoo
+
+    seen = _ids(spark, "s/", 3000)
+    cands = seen.unionByName(_ids(spark, "u/", 3000))
+    for flt in (
+        ShardedBloom(n_shards=8, expected_per_shard=1000),
+        ShardedCuckoo(n_shards=8, expected_per_shard=1000),
+    ):
+        flt.add_df(seen)
+        bnew, bmaybe = flt.split_candidates(cands)
+        snew, smaybe = flt.split_candidates_sharded(cands)
+        assert sorted(r["taskid"] for r in bnew.collect()) == sorted(
+            r["taskid"] for r in snew.collect()
+        )
+        assert bmaybe.count() == smaybe.count()
+
+
+def test_stored_filter_parquet_roundtrip_and_delete(spark, tmp_path):
+    """StoredFilter: state lives in parquet, driver holds only the path;
+    add → probe → delete → probe against versioned state dirs."""
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    a = _ids(spark, "keep/", 2000)
+    b = _ids(spark, "drop/", 2000)
+    sf = StoredFilter(spark, str(tmp_path / "flt"), kind="cuckoo",
+                      n_shards=8, expected_per_shard=1000)
+    sf.add_df(a.unionByName(b))
+    assert sf.version == 1  # versioned write committed
+
+    new, maybe = sf.split_candidates(a.unionByName(b))
+    assert new.count() == 0 and maybe.count() == 4000  # no false negatives
+
+    sf.delete_df(b)
+    assert sf.version == 2
+    new2, maybe2 = sf.split_candidates(a.unionByName(b))
+    assert maybe2.join(a, "taskid", "left_semi").count() == 2000  # survivors
+    dropped_still = maybe2.join(b, "taskid", "left_semi").count()
+    assert dropped_still / 2000 < 0.01  # unlearned modulo fp aliasing
+
+    # bloom-kind StoredFilter: probe split sound, delete refused
+    sb = StoredFilter(spark, str(tmp_path / "flt_b"), kind="bloom",
+                      n_shards=8, expected_per_shard=1000)
+    sb.add_df(a)
+    newb, maybeb = sb.split_candidates(a.unionByName(b))
+    assert maybeb.join(a, "taskid", "left_semi").count() == 2000
+    assert newb.join(a, "taskid", "left_semi").count() == 0
+    assert not sb.supports_delete
+    with pytest.raises(ValueError):
+        sb.delete_df(b)
+
+
+def test_stored_filter_incremental_add_preserves_untouched_shards(spark, tmp_path):
+    """A second add touching only some shards must carry every untouched
+    shard's state forward into the new version (emit_untouched)."""
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    sf = StoredFilter(spark, str(tmp_path / "flt"), kind="bloom",
+                      n_shards=16, expected_per_shard=1000)
+    a = _ids(spark, "a/", 1500)
+    sf.add_df(a)
+    b = _ids(spark, "b/", 1).limit(1)  # tiny delta: touches ≤1 shard
+    sf.add_df(b)
+    _, maybe = sf.split_candidates(a.unionByName(b))
+    assert maybe.count() == 1501  # nothing forgotten across versions
+
+
 def test_hex_parse_synthetic_taskids():
     """Non-hex taskids (synthetic events) still hash into the keyspace."""
     import hashlib
