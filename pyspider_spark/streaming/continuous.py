@@ -42,9 +42,12 @@ class StreamingCrawl:
         new_frontier = out.state.frontier.localCheckpoint(eager=True)
         out.state.frontier = new_frontier
         if out.state.postponed is not None:
-            rows = out.state.postponed.collect()
-            out.state.postponed = (
-                self.spark.createDataFrame(rows, out.state.postponed.schema) if rows else None
+            # bounded driver transfer: small sets collect, big ones stay
+            # distributed (same cap as the batch loop)
+            from pyspider_spark.plans.crawl import bound_postponed
+
+            out.state.postponed = bound_postponed(
+                self.spark, out.state.postponed, out.postponed_count
             )
         out.unpersist()
         self.state = out.state

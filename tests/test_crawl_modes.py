@@ -48,6 +48,78 @@ def test_urlseen_path_equals_exact_path(spark, corpus, flt):
     assert snapshot(exact.frontier) == snapshot(filtered.frontier)
 
 
+def test_resume_cuckoo_project_delete_compose(spark, corpus, tmp_path_factory):
+    """VERDICT r04 item 7: the three round-4 features COMPOSE — kill a
+    two-project crawl mid-run, resume with the cuckoo URL-seen filter
+    (rebuilt from the recovered frontier), hit a scheduled project delete
+    after the resume point (unlearn + alias repair), and land on the
+    exact frontier of the uninterrupted run."""
+    seeds = synth_seeds(
+        spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS, project="alpha"
+    ).unionByName(
+        synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS, project="beta")
+    )
+    robots = synth_robots(spark, hosts=HOSTS)
+
+    def cfg2():
+        return RoundConfig(
+            projects={"alpha": {"rate": 1e9, "burst": 1e9},
+                      "beta": {"rate": 1e9, "burst": 1e9}},
+            loop_limit=10000,
+        )
+
+    updates = {6: {"beta": {"status": "STOP", "group": "old delete"}}}
+    full = crawl(
+        spark, seeds, corpus, cfg2(), robots=robots, max_rounds=15,
+        use_bloom=True, bloom_expected=4096, urlseen_filter="cuckoo",
+        project_updates=updates,
+    )
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("ckpt_cd")), spark)
+    crawl(  # killed at round 3 — BEFORE the round-6 delete fires
+        spark, seeds, corpus, cfg2(), robots=robots, max_rounds=3, store=store,
+        use_bloom=True, bloom_expected=4096, urlseen_filter="cuckoo",
+        project_updates=updates,
+    )
+    resumed = resume(
+        spark, store, corpus, cfg2(), robots=robots, max_rounds=15,
+        use_bloom=True, bloom_expected=4096, urlseen_filter="cuckoo",
+        project_updates=updates,
+    )
+    assert snapshot(full.frontier) == snapshot(resumed.frontier)
+    assert {r["project"] for r in resumed.frontier.select("project").distinct().collect()} == {"alpha"}
+
+
+def test_bound_postponed_caps_driver_transfer(spark, monkeypatch):
+    """VERDICT r04 item 5: a postponed set past the cap must NOT collect
+    to the driver — it checkpoints distributedly; under the cap the cheap
+    collect path still runs and preserves content."""
+    from pyspark.sql import DataFrame
+
+    from pyspider_spark.plans import crawl as crawl_mod
+
+    big = spark.range(0, 5000).selectExpr("'p' AS project", "cast(id as string) AS taskid")
+    monkeypatch.setattr(crawl_mod, "POSTPONED_COLLECT_CAP", 1000)
+    real_collect = DataFrame.collect
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("driver collect on an over-cap postponed set")
+
+    monkeypatch.setattr(DataFrame, "collect", forbidden)
+    try:
+        bounded = crawl_mod.bound_postponed(spark, big, count=5000)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert bounded is not None and bounded.count() == 5000  # distributed path
+
+    small = spark.range(0, 10).selectExpr("'p' AS project", "cast(id as string) AS taskid")
+    out = crawl_mod.bound_postponed(spark, small, count=10)
+    assert sorted(r["taskid"] for r in out.collect()) == sorted(
+        r["taskid"] for r in small.collect()
+    )
+    assert crawl_mod.bound_postponed(spark, small, count=0) is None
+
+
 def test_checkpoint_resume_identical(spark, corpus, tmp_path_factory):
     seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS)
     robots = synth_robots(spark, hosts=HOSTS)
