@@ -19,6 +19,8 @@ gate (pyspider_spark/oracles.py generates the mirrors).
 
 from __future__ import annotations
 
+from math import ceil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,20 +41,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """Distinct character k-shingles per doc (lowercased, ws-normalized).
-
-    Shape (VERDICT r03 item 8): the per-doc shingle set is built in ONE
-    row expression — transform(sequence) + array_distinct — then exploded
-    to thin (doc, shingle) pairs. The previous plan exploded positions
-    first (carrying the FULL document text on every shingle row) and
-    deduped with a global .distinct(), i.e. a full shuffle of all shingle
-    rows; per-doc array_distinct is the same set (doc is part of the key)
-    with zero shuffle, so the only exchange left in minhash is the
-    signature groupBy — whose input arrives doc-contiguous and collapses
-    map-side. Memory: one doc's shingle array lives in one row buffer
-    (~len*k chars), fine for web-page-sized docs; multi-MB docs would
-    want the exploded variant back."""
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(doc, shset: array<string>) — each doc's DISTINCT character
+    k-shingles (lowercased, ws-normalized) as ONE array row, built in a
+    single row expression (transform(sequence) + array_distinct): zero
+    shuffle, zero explode. The array form is what the minhash pipeline
+    consumes end-to-end (VERDICT r04 item 6 — signatures and verify sets
+    derive per-row from this array, eliminating both 1M-row groupBys the
+    exploded shape needed). Memory: one doc's shingle array lives in one
+    row buffer (~len*k chars), fine for web-page-sized docs; multi-MB
+    docs would want the exploded variant."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     arr = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"
@@ -60,7 +60,15 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     )
     return (
         df.select(F.col(id_col).alias("doc"), norm.alias("t"))
-        .select("doc", F.explode(arr).alias("shingle"))
+        .select("doc", arr.alias("shset"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Thin exploded (doc, shingle) pairs — ``shingle_sets`` flattened
+    (the shape the n-gram Jaccard query and the oracle CTEs mirror)."""
+    return shingle_sets(df, text_col, id_col, k).select(
+        "doc", F.explode("shset").alias("shingle")
     )
 
 
@@ -95,6 +103,31 @@ def minhash_signatures(
         for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
     return base.groupBy("doc").agg(*mins)
+
+
+def minhash_signatures_from_sets(shsets: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """Same signatures as ``minhash_signatures``, computed per-ROW from
+    the (doc, shset) array — no explode, no groupBy, no exchange at all
+    (VERDICT r04 item 6: the signature groupBy was minhash's dominant
+    exchange). One md5 per shingle materializes into an ``h_arr`` column
+    (its own projection, so the 32 consumers don't recompute it), then
+    each hash function is an array_min over a transform of that array —
+    identical arithmetic to the grouped form, so the DuckDB oracle is
+    unchanged."""
+    h_arr = F.transform(
+        F.col("shset"), lambda s: md5_hash56(s) % F.lit(MERSENNE31)
+    )
+    base = shsets.select("doc", h_arr.alias("h_arr"))
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("h_arr"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31),
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return base.select("doc", *mins)
 
 
 def _guard_buckets(df: DataFrame, keys: list[str], max_size: int) -> DataFrame:
@@ -165,6 +198,17 @@ def jaccard_verify(
         F.collect_list(F.xxhash64("shingle")).alias("sh"),
         F.count("*").alias("n_sh"),
     ).persist()
+    return jaccard_verify_sets(pairs, sets, threshold)
+
+
+def jaccard_verify_sets(
+    pairs: DataFrame, sets: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact-Jaccard verify against a prebuilt per-doc hash-set table
+    ``sets`` = (doc, sh: array<long>, n_sh) — the join/intersection core
+    shared by the exploded-input wrapper above and the array-form
+    pipeline (where ``sets`` derives per-row from shingle_sets with no
+    aggregation)."""
     a = sets.select(
         F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
@@ -189,24 +233,78 @@ def jaccard_verify(
     )
 
 
+def estimate_prefilter(
+    pairs: DataFrame, sigs: DataFrame, n_hashes: int, min_matches: int,
+) -> DataFrame:
+    """Cut candidate pairs by the MinHash Jaccard ESTIMATE before the
+    exact verify: a pair's matching-minhash count is an unbiased sample
+    of its Jaccard (E[matches] = n_hashes × J), so pairs far below the
+    threshold — the overwhelming bulk of LSH candidates on template-heavy
+    corpora (sf0.1: 420k candidates → 256 survivors) — drop for 2 ×
+    n_hashes long-compares instead of an O(|A|+|B|) set intersection.
+    The signature table is |docs| rows of packed longs: broadcast when
+    small, keyed join at corpus scale. Deterministic (same signatures in
+    both engines), so the DuckDB oracle mirrors it exactly."""
+    packed = sigs.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+    a = packed.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = packed.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .where(matches >= F.lit(min_matches))
+        .select("doc_a", "doc_b")
+    )
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, n_hashes: int = 32, bands: int = 8, rows: int = 4,
     threshold: float = 0.7, max_bucket_size: int = 1000,
+    est_margin: float | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
-    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard).
+    [optional estimate prefilter] → exact-Jaccard verify. Returns
+    (doc_a, doc_b, jaccard).
 
-    The thin intermediates persist: ``sh`` feeds both the signatures and
-    the verify sets; the signature table feeds the band self-join twice
-    (each side) plus the bucket-size guard; ``pairs`` feeds the verify
-    joins. Without the caches each consumer re-runs its upstream DAG and —
-    worse — joins plan without runtime stats (measured 2x on the full
-    query vs the per-stage sum)."""
-    sh = shingles(df, text_col, id_col, k).persist()
-    sigs = minhash_signatures(sh, n_hashes).persist()
+    ``est_margin``: pairs whose estimated Jaccard (matching-minhash
+    fraction) falls below ``threshold - est_margin`` skip the exact
+    verify; with n=32 hashes the estimate's σ at J=0.7 is ~0.08, so 0.25
+    (≈3σ) drops a true above-threshold pair with probability ~0.2%, and
+    the oracle mirrors the cut exactly. Default OFF: an interleaved A/B
+    at sf0.1 measured the prefilter 0.89× (the per-doc set table
+    broadcasts there, so array_intersect is already cheaper than two
+    extra joins). It is the right lever only when the set table is too
+    large to broadcast — each dropped pair then saves a shuffled
+    O(|A|+|B|) row — so enable it at corpus scale, not below.
+
+    Pipeline shape (VERDICT r04 item 6): everything per-doc derives from
+    ONE persisted (doc, shset) array row — signatures are array_min over
+    per-row transforms (no explode, no groupBy: the signature groupBy was
+    the dominant remaining exchange) and the verify hash-set table is a
+    per-row transform of the same array (the 1M-row collect_list
+    aggregation is gone too). The only exchanges left are the banded
+    bucket self-join and its size guard. The signature table persists
+    (it feeds the band join twice plus the guard); ``pairs`` persists (it
+    feeds the verify joins); without the caches each consumer re-runs its
+    upstream DAG and joins plan without runtime stats."""
+    shsets = shingle_sets(df, text_col, id_col, k).persist()
+    sigs = minhash_signatures_from_sets(shsets, n_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, bands, rows, max_bucket_size).persist()
-    return jaccard_verify(pairs, sh, threshold)
+    if est_margin is not None:
+        min_matches = max(0, int(ceil((threshold - est_margin) * n_hashes)))
+        pairs = estimate_prefilter(pairs, sigs, n_hashes, min_matches)
+    sets = shsets.select(
+        "doc",
+        F.transform(F.col("shset"), lambda s: F.xxhash64(s)).alias("sh"),
+        F.size("shset").cast("long").alias("n_sh"),
+    )
+    return jaccard_verify_sets(pairs, sets, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -33,10 +33,15 @@ def minhash_pairs_sql(
     k: int, n_hashes: int, bands: int, rows: int, threshold: float,
     max_bucket_size: int = 1000,
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    est_margin: float | None = None,
 ) -> str:
     """Mirror of operators.dedup.minhash_dedup: shingle → minhash → banded
-    LSH bucket join (guarded) → exact-Jaccard verify. Uses the SAME
-    universal-hash coefficients as minhash_signatures."""
+    LSH bucket join (guarded) → optional estimate prefilter → exact-
+    Jaccard verify. Uses the SAME universal-hash coefficients as
+    minhash_signatures; ``est_margin`` mirrors the Spark prefilter's
+    integer min-matches cut exactly (same signatures → same verdicts)."""
+    from math import ceil
+
     from pyspider_spark.operators.dedup import MERSENNE31, minhash_coeffs
 
     base_h = f"({md5_hash56_sql('shingle')} % {MERSENNE31})"
@@ -55,6 +60,20 @@ def minhash_pairs_sql(
         )
         for b in range(bands)
     )
+    if est_margin is None:
+        pair_select = "SELECT doc_a, doc_b FROM raw_pairs"
+    else:
+        min_matches = max(0, int(ceil((threshold - est_margin) * n_hashes)))
+        match_sum = " + ".join(
+            f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+            for i in range(n_hashes)
+        )
+        pair_select = f"""
+            SELECT p.doc_a, p.doc_b FROM raw_pairs p
+            JOIN sig sa ON sa.doc = p.doc_a
+            JOIN sig sb ON sb.doc = p.doc_b
+            WHERE ({match_sum}) >= {min_matches}
+        """
     return f"""
         WITH docs AS (
             SELECT {id_col} AS doc,
@@ -81,11 +100,12 @@ def minhash_pairs_sql(
             JOIN sized s ON b.band = s.band AND b.bh = s.bh
             WHERE s.n <= {max_bucket_size}
         ),
-        pairs AS (
+        raw_pairs AS (
             SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
             FROM ok a JOIN ok b ON a.band = b.band AND a.bh = b.bh
             WHERE a.doc < b.doc
         ),
+        pairs AS ({pair_select}),
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
         inter AS (
             SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter

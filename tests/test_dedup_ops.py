@@ -101,3 +101,47 @@ def test_bucket_guards_use_no_window(spark):
     )
     plan2 = lsh_candidate_pairs(sigs, bands=2, rows=4)._jdf.queryExecution().toString()
     assert "Window" not in plan2
+
+
+def test_array_form_signatures_match_grouped_and_shuffle_free(spark):
+    """VERDICT r04 item 6: the per-row array signatures must equal the
+    grouped (explode + groupBy) signatures exactly, and their plan must
+    contain NO exchange at all (the signature groupBy was minhash's
+    dominant remaining shuffle)."""
+    from pyspider_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_from_sets,
+        shingle_sets,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"some shared text body {i % 3} tail {i}") for i in range(40)],
+        "doc_id string, text string",
+    )
+    grouped = minhash_signatures(shingles(docs, k=4), 16)
+    arrform = minhash_signatures_from_sets(shingle_sets(docs, k=4), 16)
+    key = lambda r: r["doc"]
+    assert sorted(map(tuple, grouped.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, arrform.collect()), key=lambda t: t[0]
+    )
+    plan = arrform._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle by construction
+
+
+def test_estimate_prefilter_preserves_results(spark):
+    """The opt-in estimate prefilter (100-TB lever for non-broadcastable
+    set tables) must not change the verified pair set at the default
+    margin on a corpus with real near-dups."""
+    from pyspider_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(
+        map(tuple, minhash_dedup(docs, k=5, n_hashes=32, bands=8, rows=4,
+                                 threshold=0.6).collect())
+    )
+    pref = sorted(
+        map(tuple, minhash_dedup(docs, k=5, n_hashes=32, bands=8, rows=4,
+                                 threshold=0.6, est_margin=0.25).collect())
+    )
+    assert base == pref and len(base) > 0
