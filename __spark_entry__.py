@@ -201,6 +201,38 @@ def q_f9b_urlseen_cuckoo(spark, sf):
     )
 
 
+def q_f9c_urlseen_stored(spark, sf):
+    """F9 routed through the STORAGE-resident sharded filter
+    (urlseen.StoredFilter, the 10^10-key posture): filter state lives as
+    a (shard, table, stash) parquet table — 64 shards here — and both the
+    build and the probe are shard-cogrouped jobs where no process ever
+    holds more than one shard's bytes. Same no-false-negative contract,
+    so the exact anti-join on the maybe side makes the answer plain SQL:
+    unseen = customers with no 'F'-status order."""
+    import tempfile
+
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("taskid"), "c_custkey", "c_name"
+    )
+    seen = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").cast("string").alias("taskid"))
+        .distinct()
+    )
+    flt = StoredFilter(
+        spark, tempfile.mkdtemp(prefix="urlseen_stored_"), kind="bloom",
+        n_shards=64, expected_per_shard=1 << 12,
+    )
+    flt.add_df(seen)
+    new, maybe = flt.split_candidates(c)
+    return new.unionByName(maybe.join(seen, "taskid", "left_anti")).select(
+        "c_custkey", "c_name"
+    )
+
+
 def q_f7_project_delete(spark, sf):
     """F7 at project granularity against the cuckoo URL-seen
     (scheduler.py:630-647 _check_delete -> taskdb.drop + unlearn): every
@@ -594,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_fair_share": q_f8_fair_share,
         "f9_urlseen_antijoin": q_f9_urlseen_antijoin,
         "f9b_urlseen_cuckoo": q_f9b_urlseen_cuckoo,
+        "f9c_urlseen_stored": q_f9c_urlseen_stored,
         "f7_project_delete": q_f7_project_delete,
         "f10_restart_rules": q_f10_restart_rules,
         "f11_follows_dedup": q_f11_follows_dedup,
@@ -712,6 +745,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'O')
+        """,
+        # the storage-resident sharded filter keeps the same contract:
+        # unseen = customers with no 'F'-status order
+        "f9c_urlseen_stored": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
         """,
         # after the 'delete' unlearns custkeys holding no 'P' order,
         # seen = custkeys with at least one 'P' order

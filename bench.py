@@ -88,6 +88,118 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     return times, spread
 
 
+# --- cross-round drift control (VERDICT r04 item 8) -------------------------
+# This box's wall-clock noise spans 2-3x across days, so cross-round
+# absolute comparisons are meaningless without a same-session control.
+# drift_ab re-runs two pinned probe queries under the PREVIOUS round's
+# committed code (git-archived checkout) interleaved with the current
+# code, each in a fresh subprocess session: the prev/cur ratio separates
+# real code deltas from box drift in every future BENCH_rN comparison.
+
+DRIFT_QUERIES = ["f1_rank_select", "dedup_minhash"]
+
+_DRIFT_RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+import __spark_entry__ as em
+from pyspider_spark.session import get_spark
+sf = sys.argv[2]; names = sys.argv[3].split(",")
+spark = get_spark("drift-probe", cores={cpus},
+                  extra_confs={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+qs = em.queries()
+out = {{}}
+for name in names:
+    qs[name](spark, sf).write.format("noop").mode("overwrite").save()  # warm
+    spark.catalog.clearCache()
+    t0 = time.time()
+    qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+    out[name] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+print("DRIFT:" + json.dumps(out))
+spark.stop()
+"""
+
+
+def _prev_round_commit() -> str | None:
+    import subprocess
+
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s", "-200"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30,
+        ).stdout
+    except Exception:
+        return None
+    import re
+
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(r"^round \d+:", subject):
+            return sha
+    return None
+
+
+def bench_drift_ab() -> dict | None:
+    """Interleaved prev-round-pin vs current-code probe (2 runs per arm,
+    fresh subprocess session each, min-of-runs per arm). Returns None when
+    disabled (SPARK_GRAFT_DRIFT_AB=0) or no pin/checkout is available."""
+    import subprocess
+    import tempfile
+
+    if os.environ.get("SPARK_GRAFT_DRIFT_AB", "1") == "0":
+        return None
+    pin = _prev_round_commit()
+    if pin is None:
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prev_dir = tempfile.mkdtemp(prefix="drift_pin_")
+    try:
+        archive = subprocess.run(
+            ["git", "archive", pin], capture_output=True, cwd=repo, timeout=60
+        )
+        subprocess.run(
+            ["tar", "-x", "-C", prev_dir], input=archive.stdout, timeout=60, check=True
+        )
+    except Exception:
+        return None
+
+    def probe(path: str) -> dict | None:
+        code = _DRIFT_RUNNER.format(cpus=CPUS)
+        r = subprocess.run(
+            [sys.executable, "-c", code, path, SF_DIR, ",".join(DRIFT_QUERIES)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("DRIFT:"):
+                return json.loads(line[len("DRIFT:"):])
+        return None
+
+    arms: dict[str, list[dict]] = {"prev": [], "cur": []}
+    for _ in range(2):  # interleaved: prev, cur, prev, cur
+        for arm, path in (("prev", prev_dir), ("cur", repo)):
+            got = probe(path)
+            if got:
+                arms[arm].append(got)
+    if not arms["prev"] or not arms["cur"]:
+        return None
+    best = {
+        arm: {q: min(run[q] for run in runs) for q in DRIFT_QUERIES}
+        for arm, runs in arms.items()
+    }
+    return {
+        "pin": pin[:12],
+        "queries": DRIFT_QUERIES,
+        "prev": best["prev"],
+        "cur": best["cur"],
+        "cur_over_prev": {
+            q: round(best["cur"][q] / best["prev"][q], 3) for q in DRIFT_QUERIES
+        },
+        "protocol": "interleaved prev/cur subprocess sessions, warmed, min of 2",
+    }
+
+
 def bench_crawl(spark, total: int) -> dict:
     from pyspider_spark.plans.crawl import crawl
     from pyspider_spark.plans.round import RoundConfig
@@ -137,6 +249,8 @@ def main() -> None:
     crawl_trials = [
         bench_crawl(spark, CRAWL_TOTALS.get(sf_name, 20000)) for _ in range(TRIALS)
     ]
+    spark.stop()  # drift probes run in their OWN sessions — never two at once
+    drift_ab = bench_drift_ab()
     crawl_trials.sort(key=lambda c: c["sec"])
     crawl_stats = crawl_trials[len(crawl_trials) // 2]  # median trial by sec
     times["crawl_bench"] = crawl_stats["sec"]
@@ -156,10 +270,10 @@ def main() -> None:
                 "cpus": CPUS,
                 "trials": TRIALS,
                 "crawl": crawl_stats,
+                "drift_ab": drift_ab,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
