@@ -124,11 +124,15 @@ spark.stop()
 def _prev_round_commit() -> str | None:
     import subprocess
 
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=repo, timeout=30,
+        ).stdout.strip()
         log = subprocess.run(
             ["git", "log", "--format=%H %s", "-200"],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            timeout=30,
+            capture_output=True, text=True, cwd=repo, timeout=30,
         ).stdout
     except Exception:
         return None
@@ -136,7 +140,9 @@ def _prev_round_commit() -> str | None:
 
     for line in log.splitlines():
         sha, _, subject = line.partition(" ")
-        if re.match(r"^round \d+:", subject):
+        # never pin HEAD itself: when the round-N commit IS the checkout,
+        # the A/B would compare the current code against itself
+        if sha != head and re.match(r"^round \d+:", subject):
             return sha
     return None
 
@@ -166,22 +172,32 @@ def bench_drift_ab() -> dict | None:
         return None
 
     def probe(path: str) -> dict | None:
+        # a wedged/failed probe must never abort the whole bench run —
+        # the main measurements are already in hand by the time this runs
         code = _DRIFT_RUNNER.format(cpus=CPUS)
-        r = subprocess.run(
-            [sys.executable, "-c", code, path, SF_DIR, ",".join(DRIFT_QUERIES)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        for line in r.stdout.splitlines():
-            if line.startswith("DRIFT:"):
-                return json.loads(line[len("DRIFT:"):])
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code, path, SF_DIR, ",".join(DRIFT_QUERIES)],
+                capture_output=True, text=True, timeout=1200,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("DRIFT:"):
+                    return json.loads(line[len("DRIFT:"):])
+        except Exception:
+            pass
         return None
 
     arms: dict[str, list[dict]] = {"prev": [], "cur": []}
-    for _ in range(2):  # interleaved: prev, cur, prev, cur
-        for arm, path in (("prev", prev_dir), ("cur", repo)):
-            got = probe(path)
-            if got:
-                arms[arm].append(got)
+    try:
+        for _ in range(2):  # interleaved: prev, cur, prev, cur
+            for arm, path in (("prev", prev_dir), ("cur", repo)):
+                got = probe(path)
+                if got:
+                    arms[arm].append(got)
+    finally:
+        import shutil
+
+        shutil.rmtree(prev_dir, ignore_errors=True)
     if not arms["prev"] or not arms["cur"]:
         return None
     best = {
@@ -250,7 +266,10 @@ def main() -> None:
         bench_crawl(spark, CRAWL_TOTALS.get(sf_name, 20000)) for _ in range(TRIALS)
     ]
     spark.stop()  # drift probes run in their OWN sessions — never two at once
-    drift_ab = bench_drift_ab()
+    try:
+        drift_ab = bench_drift_ab()
+    except Exception:
+        drift_ab = None  # the control is optional; never lose the run
     crawl_trials.sort(key=lambda c: c["sec"])
     crawl_stats = crawl_trials[len(crawl_trials) // 2]  # median trial by sec
     times["crawl_bench"] = crawl_stats["sec"]

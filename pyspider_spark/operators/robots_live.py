@@ -33,42 +33,61 @@ RULES_SCHEMA = "host string, path_prefix string, allow boolean, fetched_at doubl
 def parse_robots_txt(content: str, user_agent: str = DEFAULT_USER_AGENT) -> list[tuple[str, bool]]:
     """(path_prefix, allow) rules from the record group that best matches
     ``user_agent``. Clean-room implementation of the (public, RFC 9309)
-    robots.txt format as RobotFileParser consumes it: groups start at one
-    or more User-agent lines; the applicable group is the one whose agent
-    token is the longest substring of our UA (case-insensitive), with
-    '*' as the fallback; Allow/Disallow values are path prefixes; an
-    empty Disallow means allow-everything (no rule)."""
+    robots.txt format with RobotFileParser's GROUP-BOUNDARY state machine
+    (the parser the reference fetcher uses): User-agent lines accumulate
+    while no rule has been seen; Allow/Disallow AND Crawl-delay /
+    Request-rate put the entry "in rules", so the next User-agent starts
+    a NEW entry; Sitemap and unknown directives change nothing; a truly
+    empty line commits an in-rules entry and DISCARDS a rule-less
+    User-agent run; rules before any User-agent line are ignored; an
+    empty Disallow/Allow value means allow-everything (no rule row).
+    Group PICK is RFC 9309 longest-substring (most-specific agent token
+    wins, '*' is the fallback) — stricter than RobotFileParser's
+    first-match, and the documented modern semantics."""
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     agents: list[str] = []
     rules: list[tuple[str, bool]] = []
-    in_group_body = False
+    state = 0  # 0 idle · 1 collecting agents · 2 in rules
+
+    def commit() -> None:
+        nonlocal agents, rules
+        groups.append((agents, rules))
+        agents, rules = [], []
+
     for raw in content.splitlines():
+        if not raw:
+            # blank line: commits a completed entry; a User-agent run
+            # with no rules yet is dropped (robotparser state machine)
+            if state == 2:
+                commit()
+            elif state == 1:
+                agents, rules = [], []
+            state = 0
+            continue
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            if in_group_body:  # a new group starts
-                groups.append((agents, rules))
-                agents, rules = [], []
-                in_group_body = False
+            if state == 2:
+                commit()
             agents.append(val.lower())
+            state = 1
         elif key in ("allow", "disallow"):
-            in_group_body = True
-            if val:
-                rules.append((val, key == "allow"))
-            # empty Disallow: allow-all — no rule row
-        else:
-            # any other directive (Crawl-delay, Request-rate, Sitemap, ...)
-            # also closes the user-agent run: RobotFileParser starts a NEW
-            # entry at the next User-agent line after one, so
-            # 'UA: a / Crawl-delay: 1 / UA: b / Disallow: /x' must NOT
-            # merge a and b into one group
-            in_group_body = True
-    if agents or rules:
-        groups.append((agents, rules))
+            if state != 0:
+                if val:
+                    rules.append((val, key == "allow"))
+                # empty value: allow-all — no rule row
+                state = 2
+        elif key in ("crawl-delay", "request-rate"):
+            if state != 0:
+                state = 2  # closes the agent run, like robotparser
+        # sitemap / unknown directives: NO state change (robotparser
+        # ignores them entirely — they must not split or close a group)
+    if state == 2:
+        commit()
 
     best: list[tuple[str, bool]] | None = None
     best_len = -1

@@ -280,9 +280,14 @@ def sharded_probe(
 def _split_with_probe(cands: DataFrame, probed: DataFrame,
                       taskid_col: str = "taskid") -> tuple[DataFrame, DataFrame]:
     """Join the thin (taskid, _maybe) probe verdicts back onto the full
-    candidate rows (taskid-keyed equi-join; the probe deduped taskids, so
-    each candidate row matches exactly one verdict)."""
-    tagged = cands.join(probed, on=taskid_col, how="inner")
+    candidate rows. Null-safe on the key: the broadcast probe fillna's a
+    null taskid to "" and still emits a verdict, so the sharded path must
+    not silently drop that row through plain null-equality — the split is
+    a PARTITION of the input either way."""
+    verdicts = probed.withColumnRenamed(taskid_col, "_probe_taskid")
+    tagged = cands.join(
+        verdicts, cands[taskid_col].eqNullSafe(verdicts["_probe_taskid"]), "inner"
+    ).drop("_probe_taskid")
     return (
         tagged.where(~F.col("_maybe")).drop("_maybe"),
         tagged.where(F.col("_maybe")).drop("_maybe"),
@@ -295,7 +300,10 @@ class ShardedBloom:
     def __init__(self, n_shards: int = 16, bits_per_key: int = 12, expected_per_shard: int = 1 << 20):
         self.n_shards = n_shards
         self.k = 7
-        self.m = max(1 << 10, int(expected_per_shard * bits_per_key))
+        m = max(1 << 10, int(expected_per_shard * bits_per_key))
+        # whole bytes: a bit position in the last partial byte would index
+        # past the m//8-byte bitmap (IndexError in the set/test kernels)
+        self.m = (m + 7) // 8 * 8
         self.bitmaps = np.zeros((n_shards, self.m // 8), dtype=np.uint8)
 
     def _shard_of(self, h1: np.ndarray) -> np.ndarray:
@@ -622,9 +630,13 @@ class StoredFilter:
     ``sharded_probe``), so the largest filter working set any single
     process ever holds — driver included — is one shard's table
     (max-accumulator-tested). Writes are versioned (``path/v{n}``): a
-    mutation reads v{n} and writes v{n+1}, then flips; a crash mid-write
-    leaves v{n} intact, and a probe plan over v{n} is never overwritten
-    underneath.
+    mutation reads v{n} and writes v{n+1} — only a version with Spark's
+    ``_SUCCESS`` marker counts — then flips and prunes versions older
+    than ``keep_versions``. A crash mid-write leaves the committed
+    version intact (the half-written dir has no marker and is ignored),
+    re-opening the path resumes at the last committed version, and a
+    probe plan over v{n} is never overwritten underneath (it stays on
+    disk until ``keep_versions`` later mutations have landed).
 
     Sizing at 10^10 keys / 12 bits/key bloom (~15 GB): n_shards=4096
     keeps a shard at ~3.7 MB; per-round shuffle is 16 bytes × |delta|,
@@ -634,20 +646,39 @@ class StoredFilter:
 
     def __init__(self, spark, path: str, kind: str = "bloom", n_shards: int = 64,
                  expected_per_shard: int = 1 << 20, bits_per_key: int = 12,
-                 slots_per_bucket: int = 4, load_factor: float = 0.84):
+                 slots_per_bucket: int = 4, load_factor: float = 0.84,
+                 keep_versions: int = 2):
         if kind not in ("bloom", "cuckoo"):
             raise ValueError(f"kind must be bloom|cuckoo, got {kind!r}")
         self.spark = spark
         self.path = str(path).rstrip("/")
         self.kind = kind
+        self.keep_versions = max(1, keep_versions)
         if kind == "bloom":
             m = max(1 << 10, int(expected_per_shard * bits_per_key))
+            m = (m + 7) // 8 * 8  # whole bytes: bit m-1 must be addressable
             self.params = {"n_shards": n_shards, "k": 7, "m": m}
         else:
             nb = 1 << max(4, int(np.ceil(np.log2(
                 max(1, expected_per_shard) / (slots_per_bucket * load_factor)))))
             self.params = {"n_shards": n_shards, "nb": nb, "slots": slots_per_bucket}
-        self.version = 0
+        self.version = self._discover_version()
+
+    def _discover_version(self) -> int:
+        """Last COMMITTED version on disk (highest v{n} whose parquet dir
+        carries the _SUCCESS marker) — re-opening an existing filter path
+        must resume from its state, never silently restart empty."""
+        import os
+        import re
+
+        if not os.path.isdir(self.path):
+            return 0
+        best = 0
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and os.path.exists(os.path.join(self.path, name, "_SUCCESS")):
+                best = max(best, int(m.group(1)))
+        return best
 
     @property
     def supports_delete(self) -> bool:
@@ -668,6 +699,24 @@ class StoredFilter:
         nxt = self.version + 1
         new_state.write.mode("overwrite").parquet(f"{self.path}/v{nxt}")
         self.version = nxt
+        self._prune_versions()
+
+    def _prune_versions(self) -> None:
+        """Drop versions older than the retention window — without this,
+        every mutation strands a full filter copy (~15 GB at the 10^10
+        posture). Committed-version discovery plus the window means any
+        probe plan bound to a recent version stays readable."""
+        import os
+        import re
+        import shutil
+
+        floor = self.version - self.keep_versions
+        if floor <= 0 or not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and int(m.group(1)) <= floor:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def add_df(self, df: DataFrame, taskid_col: str = "taskid", peak_acc=None) -> None:
         self._apply(df, "add", taskid_col, peak_acc=peak_acc)

@@ -95,21 +95,46 @@ def test_parse_multi_agent_group():
     assert parse_robots_txt(txt, "gammabot/3.0") == []
 
 
-def test_parse_other_directive_closes_group():
-    """ADVICE r04: a non-Allow/Disallow directive (Crawl-delay, Sitemap...)
-    also ends the User-agent run — RobotFileParser starts a NEW entry at
-    the next User-agent line, so agents a and b must NOT merge into one
-    group here (and /x must not apply to a)."""
+def test_parse_group_boundary_state_machine():
+    """ADVICE r04 + r05 review: exact RobotFileParser group boundaries.
+    Crawl-delay/Request-rate put the entry 'in rules' (next User-agent
+    starts a NEW entry); Sitemap and unknown directives change NOTHING
+    (they neither split agent runs nor close groups)."""
+    # crawl-delay closes the agent run → a and b are separate groups
     txt = "User-agent: alphabot\nCrawl-delay: 1\nUser-agent: betabot\nDisallow: /x"
     assert parse_robots_txt(txt, "alphabot/2.0") == []
     assert parse_robots_txt(txt, "betabot/1.0") == [("/x", False)]
-    # same for a directive between a group body and the next agent line
-    txt2 = (
+    # sitemap between two User-agent lines does NOT split the run:
+    # robotparser keeps state=1, so a and b share one entry
+    txt2 = "User-agent: alphabot\nSitemap: http://h/s.xml\nUser-agent: betabot\nDisallow: /x"
+    assert parse_robots_txt(txt2, "alphabot/2.0") == [("/x", False)]
+    assert parse_robots_txt(txt2, "betabot/1.0") == [("/x", False)]
+    # sitemap after a rule also changes nothing — next UA starts a new
+    # entry because the Disallow already closed the body
+    txt3 = (
         "User-agent: alphabot\nDisallow: /a\nSitemap: http://h/x.xml\n"
         "User-agent: betabot\nDisallow: /b"
     )
+    assert parse_robots_txt(txt3, "alphabot/2.0") == [("/a", False)]
+    assert parse_robots_txt(txt3, "betabot/1.0") == [("/b", False)]
+
+
+def test_parse_blank_lines_and_orphan_rules():
+    """robotparser blank-line semantics: a blank commits an in-rules
+    entry; a rule-less User-agent run is DISCARDED at a blank; rules
+    before any User-agent line are ignored."""
+    # blank between UA and its rules discards the run → alphabot unmatched
+    txt = "User-agent: alphabot\n\nDisallow: /x"
+    assert parse_robots_txt(txt, "alphabot/2.0") == []
+    # blank between complete groups separates them normally
+    txt2 = "User-agent: alphabot\nDisallow: /a\n\nUser-agent: betabot\nDisallow: /b"
     assert parse_robots_txt(txt2, "alphabot/2.0") == [("/a", False)]
     assert parse_robots_txt(txt2, "betabot/1.0") == [("/b", False)]
+    # whitespace-only line is NOT blank (robotparser checks the raw line)
+    txt3 = "User-agent: alphabot\n   \nDisallow: /x"
+    assert parse_robots_txt(txt3, "alphabot/2.0") == [("/x", False)]
+    # orphan rules before any UA are dropped
+    assert parse_robots_txt("Disallow: /x\nUser-agent: a\nDisallow: /y", "a/1") == [("/y", False)]
 
 
 # -- fetch + cache -----------------------------------------------------------

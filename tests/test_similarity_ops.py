@@ -169,9 +169,15 @@ def test_ivf_oracle_parity_trained(spark):
 
     sf = "/root/testdata/sf0.001"
     saved = dict(entry._ORACLE_STATE)
+    # neutralize guard state other suite tests may have left (they
+    # generate literal oracles for sf0.01; this test runs at sf0.001
+    # with its OWN freshly-generated literals, so no mismatch exists)
+    entry._ORACLE_STATE["generated_for"] = None
+    entry._ORACLE_STATE["last_query_sf"] = None
     try:
         spark_rows = entry.q_ann_ivf_topk(spark, sf).collect()
     finally:
+        entry._ORACLE_STATE.clear()
         entry._ORACLE_STATE.update(saved)
     con = duckdb.connect()
     con.execute(

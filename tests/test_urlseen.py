@@ -420,3 +420,57 @@ def test_hex_parse_synthetic_taskids():
     want1, _ = _hashes(pd.Series([hashlib.md5(b"on_finished").hexdigest()]))
     assert h1[0] == want1[0]
     assert len(h1) == len(h2) == 3
+
+
+def test_stored_filter_reopen_resumes_and_prunes(spark, tmp_path):
+    """r05 review fixes: (a) re-opening an existing filter path must
+    resume from the last COMMITTED on-disk version — never silently
+    restart empty (false negatives + overwrite of the only copy);
+    (b) version pruning keeps disk bounded (each version is a full
+    filter copy)."""
+    import os
+
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    path = str(tmp_path / "flt")
+    a = _ids(spark, "a/", 1000)
+    sf1 = StoredFilter(spark, path, kind="bloom", n_shards=8,
+                       expected_per_shard=1000)
+    sf1.add_df(a)
+    # "process restart": a brand-new handle on the same path
+    sf2 = StoredFilter(spark, path, kind="bloom", n_shards=8,
+                       expected_per_shard=1000)
+    assert sf2.version == 1  # discovered, not reset
+    new, maybe = sf2.split_candidates(a)
+    assert new.count() == 0 and maybe.count() == 1000  # state survived
+
+    # mutations prune beyond the retention window
+    for i in range(4):
+        sf2.add_df(_ids(spark, f"b{i}/", 50))
+    assert sf2.version == 5
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+    assert vdirs == ["v4", "v5"]  # keep_versions=2
+
+    # a half-written version (no _SUCCESS) is ignored on reopen
+    os.makedirs(os.path.join(path, "v9"))
+    sf3 = StoredFilter(spark, path, kind="bloom", n_shards=8,
+                       expected_per_shard=1000)
+    assert sf3.version == 5
+
+
+def test_bloom_m_not_multiple_of_8_does_not_crash(spark):
+    """r05 review fix: bloom sizing rounds m up to whole bytes — an
+    unaligned m made bit positions in the last partial byte index past
+    the bitmap (IndexError in the build/probe kernels)."""
+    from pyspider_spark.operators.urlseen import ShardedBloom, StoredFilter
+
+    bloom = ShardedBloom(n_shards=2, bits_per_key=12, expected_per_shard=1001)
+    assert bloom.m % 8 == 0
+    xs = _ids(spark, "x/", 3000)
+    bloom.add_df(xs)  # would IndexError on unaligned m
+    probe = bloom.might_contain_udf(spark)
+    assert xs.where(~probe(F.col("taskid"))).count() == 0
+
+    sf = StoredFilter(spark, "/tmp/_unused_sizing_probe", kind="bloom",
+                      n_shards=2, expected_per_shard=1001)
+    assert sf.params["m"] % 8 == 0
