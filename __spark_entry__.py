@@ -466,6 +466,18 @@ def q_dedup_minhash(spark, sf):
     ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_cluster(spark, sf):
+    """Near-dup clusters: minhash pairs → connected components
+    (large-star/small-star, O(log n) rounds) → (doc, component-min).
+    Oracle computes the same closure via recursive reachability."""
+    from pyspider_spark.operators.dedup import connected_components, minhash_dedup
+
+    pairs = minhash_dedup(
+        _t(spark, sf, "documents"), k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
+    )
+    return connected_components(pairs)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -649,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_cluster": q_dedup_cluster,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -697,6 +710,9 @@ def oracle_sql() -> dict[str, str]:
             FROM page WHERE rn2 > 20 AND rn2 <= 40
         """,
         "dedup_minhash": oracles.minhash_pairs_sql(
+            k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
+        ),
+        "dedup_cluster": oracles.minhash_components_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
         ),
         "ngram_jaccard": oracles.minhash_pairs_sql(

@@ -391,3 +391,115 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> canonical doc.
+# The reference stops at pairwise similarity; a training-data pipeline needs
+# the transitive closure (A~B, B~C => {A,B,C} is ONE duplicate cluster, keep
+# one canonical member). Alternating large-star/small-star (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC 2014) converges in
+# O(log n) rounds regardless of component diameter — plain min-label
+# propagation needs O(diameter) rounds, which on web-scale near-dup chains
+# (mirror farms) is the difference between ~15 and ~10000 shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round over an undirected edge list.
+
+    large-star: for every node u, connect each LARGER neighbor to the
+    minimum of u's closed neighborhood. small-star: canonicalize edges to
+    (bigger, smaller) and connect each smaller neighbor (and u itself) to
+    that minimum. Each round is one groupBy + one join, both shuffled on
+    the node key — no collect, no window."""
+    u, v = F.col("u"), F.col("v")
+    if large:
+        nbrs = edges.union(edges.select(v.alias("u"), u.alias("v")))
+        emit_filter = F.col("v") > F.col("u")
+    else:
+        nbrs = edges.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        )
+        emit_filter = F.lit(True)  # all neighbors of u are <= u here
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least(F.col("u"), F.col("mv")).alias("m")
+    )
+    out = (
+        nbrs.join(mins, "u")
+        .where(emit_filter)
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    if not large:
+        out = out.union(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _cc_with_iters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """(components, rounds-used). Iterates (large-star, small-star) until
+    the edge set reaches a fixpoint — at which point every edge is
+    (node, component-minimum). The fixpoint check is a cheap aggregate
+    fingerprint (count + xor of row hashes; xor, not sum, so ANSI
+    overflow checking can never trip it), one extra job per round; each
+    round's result is eagerly localCheckpoint-ed so lineage stays O(1)
+    across iterations instead of doubling per round."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ]
+    prev_fp = edges.agg(*fp_cols).first()
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        edges = _star_round(_star_round(edges, large=True), large=False)
+        edges = edges.localCheckpoint(eager=True)
+        fp = edges.agg(*fp_cols).first()
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return edges, iters
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc, component) for every doc appearing in ``pairs``, where
+    ``component`` is the smallest doc id in its connected component (the
+    conventional canonical label). Star edges at the fixpoint all point
+    node -> root, so the output is the edge list plus each root mapped to
+    itself."""
+    edges, _ = _cc_with_iters(pairs, a_col, b_col, max_iter)
+    roots = edges.select(F.col("v").alias("u"), F.col("v"))
+    return (
+        edges.union(roots).distinct()
+        .select(F.col("u").alias("doc"), F.col("v").alias("component"))
+    )
+
+
+def dedup_assign(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    a_col: str = "doc_a", b_col: str = "doc_b",
+) -> DataFrame:
+    """Join every document to its near-dup cluster: adds ``component``
+    (its own id when the doc is in no pair — singleton cluster) and
+    ``is_canonical`` (the member a keep-one-per-cluster pipeline
+    retains). The components table is tiny relative to the corpus (only
+    docs that appear in some near-dup pair), so the join broadcasts."""
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed("doc", id_col)
+    return df.join(F.broadcast(comp), id_col, "left").select(
+        df["*"],
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias(
+            "is_canonical"
+        ),
+    )

@@ -40,6 +40,53 @@ def minhash_pairs_sql(
     Jaccard verify. Uses the SAME universal-hash coefficients as
     minhash_signatures; ``est_margin`` mirrors the Spark prefilter's
     integer min-matches cut exactly (same signatures → same verdicts)."""
+    ctes = _minhash_ctes(
+        k, n_hashes, bands, rows, max_bucket_size, table, id_col, text_col,
+        est_margin, threshold,
+    )
+    return f"""
+        WITH {ctes}
+        SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard
+        FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def minhash_components_sql(
+    k: int, n_hashes: int, bands: int, rows: int, threshold: float,
+    max_bucket_size: int = 1000,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.dedup.connected_components over minhash_dedup's
+    pairs: the transitive closure by recursive reachability (peer = every
+    node reachable from ``node``; component = MIN(peer)). The recursive
+    closure is O(component_size²) rows — fine at oracle scale; the Spark
+    side uses the O(log n)-round star algorithm instead."""
+    ctes = _minhash_ctes(
+        k, n_hashes, bands, rows, max_bucket_size, table, id_col, text_col,
+        None, threshold,
+    )
+    return f"""
+        WITH RECURSIVE {ctes},
+        fp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {threshold}),
+        ed AS (
+            SELECT doc_a AS x, doc_b AS y FROM fp
+            UNION SELECT doc_b, doc_a FROM fp
+        ),
+        reach(node, peer) AS (
+            SELECT x, x FROM ed
+            UNION
+            SELECT r.node, e.y FROM reach r JOIN ed e ON e.x = r.peer
+        )
+        SELECT node AS doc, MIN(peer) AS component FROM reach GROUP BY node
+    """
+
+
+def _minhash_ctes(
+    k: int, n_hashes: int, bands: int, rows: int, max_bucket_size: int,
+    table: str, id_col: str, text_col: str,
+    est_margin: float | None, threshold: float,
+) -> str:
+    """The shared CTE chain (docs → … → j) behind the minhash oracles."""
     from math import ceil
 
     from pyspider_spark.operators.dedup import MERSENNE31, minhash_coeffs
@@ -74,8 +121,7 @@ def minhash_pairs_sql(
             JOIN sig sb ON sb.doc = p.doc_b
             WHERE ({match_sum}) >= {min_matches}
         """
-    return f"""
-        WITH docs AS (
+    return f"""docs AS (
             SELECT {id_col} AS doc,
                    regexp_replace(lower({text_col}), '\\s+', ' ', 'g') AS t
             FROM {table}
@@ -120,10 +166,7 @@ def minhash_pairs_sql(
             FROM inter i
             JOIN sizes za ON za.doc = i.doc_a
             JOIN sizes zb ON zb.doc = i.doc_b
-        )
-        SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard
-        FROM j WHERE jaccard >= {threshold}
-    """
+        )"""
 
 
 def ann_lsh_topk_sql(
