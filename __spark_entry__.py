@@ -478,6 +478,24 @@ def q_dedup_cluster(spark, sf):
     return connected_components(pairs)
 
 
+def q_corpus_clean(spark, sf):
+    """End-to-end training-corpus cleaning: lang gate → quality gate →
+    exact dedup → near-dup clustering with one canonical kept per
+    cluster. Every stage mirrored in one DuckDB oracle query."""
+    from pyspider_spark.operators.clean import corpus_clean
+
+    return corpus_clean(_t(spark, sf, "documents"))
+
+
+def q_pagerank(spark, sf):
+    """PageRank over the deterministic synthetic doc link graph (10 fixed
+    power iterations, damping 0.85, dangling mass redistributed). Oracle
+    unrolls the same iterations as materialized DuckDB CTEs."""
+    from pyspider_spark.operators.graph import doc_pagerank
+
+    return doc_pagerank(_t(spark, sf, "documents"))
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -662,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_cluster": q_dedup_cluster,
+        "corpus_clean": q_corpus_clean,
+        "pagerank": q_pagerank,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -715,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": oracles.minhash_components_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
         ),
+        "corpus_clean": oracles.corpus_clean_sql(),
+        "pagerank": oracles.pagerank_sql(),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

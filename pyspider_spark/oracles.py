@@ -537,3 +537,151 @@ def multimodal_frames_sql(sf_dir: str, every_n_bytes: int = 64,
                     AS INTEGER) AS frame_byte
         FROM f
     """
+
+
+def _lang_counts_sql(text_expr: str) -> str:
+    """Per-language marker-hit count columns (c_en … c_cjk), mirroring
+    functions.text.lang_guess's vote inputs."""
+    from pyspider_spark.functions.text import LANG_MARKERS
+
+    cols = [
+        f"len(regexp_extract_all(lower({text_expr}), "
+        f"'\\b({'|'.join(ws)})\\b')) AS c_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    cols.append(
+        f"len(regexp_extract_all({text_expr}, '[\\x{{4e00}}-\\x{{9fff}}]')) AS c_cjk"
+    )
+    return ",\n                   ".join(cols)
+
+
+LANG_CASE_SQL = """CASE WHEN c_cjk > 0 THEN 'zh'
+                 WHEN GREATEST(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+                 WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en'
+                 WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de'
+                 WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) THEN 'fr'
+                 ELSE 'es' END"""
+
+
+def quality_sql(text_expr: str) -> str:
+    """Mirror of functions.text.quality_score (same stopword markers,
+    same linear weights, same clips)."""
+    return f"""GREATEST(0.0, LEAST(1.0,
+          0.5 * LEAST(length({text_expr}) / 500.0, 1.0)
+        + 2.0 * (CASE WHEN trim({text_expr}) = '' THEN 0.0 ELSE
+            CAST(len(regexp_extract_all(lower({text_expr}), '\\b(the|and|of|to|is)\\b'))
+                 AS DOUBLE)
+            / len(string_split_regex(trim({text_expr}), '\\s+')) END)
+        - 1.0 * (CASE WHEN length({text_expr}) = 0 THEN 0.0 ELSE
+            CAST(len(regexp_extract_all({text_expr}, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+            / length({text_expr}) END)
+        + 0.3))"""
+
+
+def corpus_clean_sql(
+    langs: tuple[str, ...] = ("en",), min_quality: float = 0.5,
+    k: int = 5, n_hashes: int = 32, bands: int = 8, rows: int = 4,
+    threshold: float = 0.6, max_bucket_size: int = 1000,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.clean.corpus_clean: lang gate → quality gate →
+    exact dedup (min id per md5 fingerprint) → minhash near-dup pairs →
+    reachability-closure components → kept = canonical member."""
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    ctes = _minhash_ctes(
+        k, n_hashes, bands, rows, max_bucket_size, "exact_kept",
+        id_col, text_col, None, threshold,
+    )
+    return f"""
+        WITH RECURSIVE
+        lv AS (
+            SELECT {id_col}, {text_col},
+                   {_lang_counts_sql(text_col)}
+            FROM {table}
+        ),
+        base AS (
+            SELECT {id_col}, {text_col} FROM lv
+            WHERE ({LANG_CASE_SQL}) IN ({lang_list})
+              AND ({quality_sql(text_col)}) >= {min_quality}
+        ),
+        fpx AS (
+            SELECT {id_col}, {text_col},
+                   md5(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')) AS fp
+            FROM base
+        ),
+        mfp AS (SELECT fp, MIN({id_col}) AS m FROM fpx GROUP BY fp),
+        exact_kept AS (
+            SELECT f.{id_col}, f.{text_col}
+            FROM fpx f JOIN mfp g ON f.fp = g.fp AND f.{id_col} = g.m
+        ),
+        {ctes},
+        fp2 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {threshold}),
+        ed AS (
+            SELECT doc_a AS x, doc_b AS y FROM fp2
+            UNION SELECT doc_b, doc_a FROM fp2
+        ),
+        reach(node, peer) AS (
+            SELECT x, x FROM ed
+            UNION
+            SELECT r.node, e.y FROM reach r JOIN ed e ON e.x = r.peer
+        ),
+        comp AS (SELECT node AS doc, MIN(peer) AS component FROM reach GROUP BY node)
+        SELECT e.{id_col},
+               COALESCE(c.component, e.{id_col}) AS component,
+               COALESCE(c.component, e.{id_col}) = e.{id_col} AS kept
+        FROM exact_kept e LEFT JOIN comp c ON c.doc = e.{id_col}
+    """
+
+
+def pagerank_sql(
+    links_per_doc: int = 8, n_iter: int = 10, damping: float = 0.85,
+    table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """Mirror of operators.graph.doc_pagerank: the same md5-slice link
+    derivation and the same fixed power iterations, UNROLLED as one CTE
+    pair (contributions + dangling mass) per iteration — recursive CTEs
+    can't aggregate the recursive table, unrolling can."""
+    h = md5_hash56_sql("(CAST(src AS VARCHAR) || '-' || CAST(k AS VARCHAR))")
+    d = repr(float(damping))
+    n_sql = "(SELECT n FROM nn)"
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(r.rank / e.outdeg) AS c
+            FROM ed e JOIN {p} r ON r.node = e.src GROUP BY e.dst
+        ),
+        d{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM {p} r
+            WHERE r.node NOT IN (SELECT src FROM deg)
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT n.node,
+                   (1.0 - {d}) / {n_sql}
+                   + {d} * (COALESCE(c.c, 0.0) + (SELECT dm FROM d{i}) / {n_sql})
+                   AS rank
+            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+        )""")
+    return f"""
+        WITH raw AS (
+            SELECT src, unnest(range(0, {links_per_doc})) AS k
+            FROM (SELECT {id_col} AS src FROM {table})
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT src,
+                   ({h} % (SELECT COUNT(*) FROM {table})) AS dst
+            FROM raw
+        ),
+        e2 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),
+        nodes AS MATERIALIZED (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e2 GROUP BY src),
+        ed AS MATERIALIZED (SELECT e.src, e.dst, g.outdeg FROM e2 e JOIN deg g ON g.src = e.src),
+        r0 AS MATERIALIZED (SELECT node, 1.0 / {n_sql} AS rank FROM nodes),
+        {", ".join(its)}
+        SELECT node AS {id_col},
+               ROUND(rank * {n_sql}, 6) AS rank_x_n
+        FROM r{n_iter}
+    """
+

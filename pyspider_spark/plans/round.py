@@ -64,8 +64,13 @@ class RoundConfig:
     fetch_threads: int = 16  # per-partition HTTP concurrency in real mode
     # hot-host skew salting in the select rank (north rule): S-way
     # two-phase per-host top-k; 1 disables (exact either way — see
-    # frontier.select_wave)
-    select_salt_buckets: int = 16
+    # frontier.select_wave). Default OFF: an interleaved corpus-scale A/B
+    # (BENCH/BASELINE.md §3d, 3 trials/arm at the 1.6M wave) measured the
+    # 16-way salt 2.0x slower on a UNIFORM host distribution — the extra
+    # shuffle+rank pass only pays when one host dominates a partition
+    # (the regime test_select_wave_salted_equals_unsalted pins); set 16
+    # for skewed crawls.
+    select_salt_buckets: int = 1
     # X5 live mode (real fetch only): fetch each new host's /robots.txt
     # once per TTL window instead of requiring a rules table
     # (tornado_fetcher.py:289-324; cache = operators/robots_live)

@@ -135,3 +135,35 @@ def test_cc_over_minhash_pairs_is_consistent(spark, corpus=None):
         F.col("mn") != F.col("component")
     )
     assert bad_label.count() == 0
+
+
+def test_corpus_clean_end_to_end(spark):
+    from pyspider_spark.operators.clean import corpus_clean
+
+    base = (
+        "the cat and the dog of the house is happy to run and play in the "
+        "garden all day " * 8
+    )
+    near = base.replace("garden", "meadow")
+    distinct = (
+        "the sailors of the old fleet is keen to chart the wide sea and "
+        "the wind of dawn " * 8
+    )
+    german = "der hund und die katze das haus ist gross und der baum " * 8
+    junk = "@@@ ### !!!"
+    docs = spark.createDataFrame(
+        [
+            (0, base),        # kept (canonical of the near-dup cluster)
+            (1, base),        # exact duplicate -> dropped before near-dup
+            (2, near),        # near-dup of 0 -> present, kept=False
+            (3, german),      # lang gate drops it
+            (4, junk),        # quality gate drops it
+            (5, distinct),    # singleton -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_clean(docs).collect()}
+    assert set(out) == {0, 2, 5}
+    assert out[0]["component"] == 0 and out[0]["kept"] is True
+    assert out[2]["component"] == 0 and out[2]["kept"] is False
+    assert out[5]["component"] == 5 and out[5]["kept"] is True
