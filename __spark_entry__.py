@@ -496,6 +496,47 @@ def q_pagerank(spark, sf):
     return doc_pagerank(_t(spark, sf, "documents"))
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition metrics per document: duplicate-line /
+    duplicate-paragraph fractions (row-local array expressions) and the
+    top word-2-gram slot fraction (explode -> map-side-combined groupBy
+    -> per-doc max). Rae et al. 2021 App. A1.1 semantics."""
+    from pyspider_spark.operators.textprep import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction counts (email, phone, ipv4 — fixed order, each class
+    counted on the previous class's redacted text) + md5 fingerprint of
+    the scrubbed text. Pure regexp expressions, zero shuffle."""
+    from pyspider_spark.operators.textprep import scrub_pii
+
+    return scrub_pii(_t(spark, sf, "documents"))
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-language Bernoulli sample (domain-mix rebalance):
+    keep iff md5_hash56('sample' || id) mod 1e6 < rate(lang) * 1e6 —
+    reproducible across engines/runs/partitionings, pushdown-able."""
+    from pyspider_spark.operators.textprep import stratified_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, SAMPLE_RATES, stratum_col="lang")
+
+
+def q_tfidf_topk(spark, sf):
+    """Top-3 TF-IDF terms per document (score = tf * ln(N/df), term-asc
+    tie-break). Document frequency is a vocabulary-sized aggregate
+    broadcast back onto the doc-keyed term counts."""
+    from pyspider_spark.operators.textprep import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"), k=3, min_df=2)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -682,6 +723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "corpus_clean": q_corpus_clean,
         "pagerank": q_pagerank,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_topk": q_tfidf_topk,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -737,6 +782,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_clean": oracles.corpus_clean_sql(),
         "pagerank": oracles.pagerank_sql(),
+        "repetition_stats": oracles.repetition_sql(),
+        "pii_scrub": oracles.pii_scrub_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(SAMPLE_RATES),
+        "tfidf_topk": oracles.tfidf_topk_sql(k=3, min_df=2),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

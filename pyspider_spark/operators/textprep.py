@@ -1,0 +1,248 @@
+"""Training-corpus preparation operators beyond the gates in
+``operators/clean``: Gopher-style repetition statistics, PII scrubbing,
+deterministic stratified sampling, and TF-IDF top-k keyword extraction.
+
+These are the remaining verbs of a pretraining data pipeline (quality
+filtering by repetition — Rae et al. 2021 "Scaling Language Models"
+App. A1.1 — PII redaction, domain-mix rebalancing by per-stratum
+sampling, and per-document keyword signals), each expressed in the
+scale shape Spark wants:
+
+- ``repetition_stats``: the duplicate-line / duplicate-paragraph
+  fractions are row-local array expressions (whole-stage codegen, push
+  down to the scan, zero shuffle); the top-2-gram character fraction is
+  the one genuinely aggregate-shaped metric, done as explode →
+  map-side-combined groupBy(doc, gram) → per-doc max_by — two
+  doc-keyed exchanges, no window sort.
+- ``scrub_pii``: pure regexp_replace/regexp_count expressions; at 100 TB
+  this is a free rider on whatever scan already reads the text column.
+- ``stratified_sample``: hash-mod Bernoulli per stratum using the
+  engine-portable md5-slice hash (functions/portable_hash) — no
+  sampleBy/RNG, so the SAME rows are kept on every engine and every
+  rerun (resumable pipelines need deterministic sampling), and the
+  filter is a plain predicate Catalyst can push down.
+- ``tfidf_topk``: tokenize → explode → groupBy(doc, term) with map-side
+  combine; document frequency is a second groupBy on the term key whose
+  result is vocabulary-sized (≪ corpus) and therefore broadcast back —
+  the per-doc top-k is max_by-style row_number over (doc) only.
+
+All four are mirrored 1:1 in DuckDB (oracles.repetition_sql /
+pii_scrub_sql / stratified_sample_sql / tfidf_topk_sql), so the driver
+gate value-hashes them end to end. The reference has no corpus-prep
+surface (it stops at result_worker dumps — result_worker.py); this
+family is the Spark-first extension the 100-TB use case needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspider_spark.functions.portable_hash import md5_hash56
+
+# --- Gopher-style repetition statistics -------------------------------------
+
+# tokenization shared by the 2-gram metric and tfidf_topk: lowercase
+# alphanumeric runs (engine-portable: regexp_extract_all exists with the
+# same semantics in Spark and DuckDB)
+WORD_RE = "[a-z0-9]+"
+
+
+def _words(text) -> F.Column:
+    return F.regexp_extract_all(F.lower(F.coalesce(text, F.lit(""))), F.lit(WORD_RE), 0)
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_para_frac, top_2gram_frac):
+    per-document repetition metrics in the spirit of Gopher's quality
+    rules — the fraction of duplicate lines / paragraphs (count-based)
+    and the fraction of word mass claimed by the most frequent word
+    2-gram. Rounded to 6 decimals for engine-portable value hashing."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda s: F.trim(s) != F.lit(""))
+    paras = F.filter(F.split(text, "\n\n"), lambda s: F.trim(s) != F.lit(""))
+
+    def dup_frac(arr) -> F.Column:
+        n = F.size(arr).cast("double")
+        d = F.size(F.array_distinct(arr)).cast("double")
+        return F.when(n == 0, F.lit(0.0)).otherwise(F.round((n - d) / n, 6))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(paras).alias("dup_para_frac"),
+        _words(F.col(text_col)).alias("w"),
+    )
+    # top-2-gram fraction: explode 2-grams, count per (doc, gram) with
+    # map-side combine, keep each doc's max count, divide by the doc's
+    # 2-gram total. max_by on the grouped result — no window over rows.
+    grams = base.select(
+        id_col,
+        F.size(F.col("w")).alias("n_words"),
+        F.explode_outer(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.get("w", i), F.get("w", i + 1)),
+                ),
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "n_words", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_words")
+        .agg(F.max(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0)).alias("top_c"))
+        .select(
+            id_col,
+            # fraction of 2-gram slots held by the most frequent 2-gram —
+            # bounded (0, 1], 0.0 for docs with < 2 words
+            F.when(
+                F.col("n_words") >= 2,
+                F.round(
+                    F.col("top_c") / (F.col("n_words") - 1).cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_2gram_frac"),
+        )
+    )
+    return base.drop("w").join(top, id_col)
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_dup_para_frac: float = 0.3,
+    max_top_2gram_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents passing the Gopher-ish repetition thresholds."""
+    stats = repetition_stats(docs, id_col, text_col)
+    keep = stats.where(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_para_frac") <= max_dup_para_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+    ).select(id_col)
+    return docs.join(keep, id_col)
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+PII_PATTERNS = {
+    # deliberately simple, engine-portable regexes (no lookaround — RE2 /
+    # DuckDB safe); real deployments swap in stricter patterns here
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_email, n_phone, n_ipv4, clean_fp): redaction counts per
+    PII class plus the md5 fingerprint of the scrubbed text (the
+    fingerprint — not the full text — keeps the driver-gate payload
+    small; pipelines keep the scrubbed column by calling scrub_text).
+    Patterns apply in a fixed order (email, phone, ipv4) so counts are
+    deterministic when classes overlap."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col)]
+    cleaned = text
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.regexp_count(cleaned, F.lit(pat)).alias(f"n_{name}"))
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
+    cols.append(F.md5(cleaned).alias("clean_fp"))
+    return docs.select(*cols)
+
+
+def scrub_text(text: F.Column) -> F.Column:
+    """The scrubbed text column itself (same fixed pattern order)."""
+    cleaned = F.coalesce(text, F.lit(""))
+    for name, pat in PII_PATTERNS.items():
+        cleaned = F.regexp_replace(cleaned, pat, f"<{name}>")
+    return cleaned
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+SAMPLE_MOD = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    md5_hash56(salt ‖ id) mod 1e6 < rate(stratum) * 1e6. Unlike
+    df.sampleBy this is (a) exactly reproducible across engines, runs,
+    and partitionings (resume-safe), (b) a pure pushdown-able predicate
+    (no RNG state), and (c) consistent under re-sharding — properties a
+    domain-mix rebalance over 100 TB needs. Rows whose stratum is not in
+    ``rates`` fall back to ``default_rate``."""
+    h = F.pmod(md5_hash56(F.col(id_col).cast("string"), salt=salt), F.lit(SAMPLE_MOD))
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    # double-vs-double comparison: Spark `cast long` truncates where
+    # DuckDB CAST rounds half-even, so never cast the threshold
+    return df.where(h.cast("double") < rate * F.lit(float(SAMPLE_MOD)))
+
+
+# --- TF-IDF top-k keywords ----------------------------------------------------
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, df, score): the k highest-TF-IDF terms per
+    document (score = tf · ln(N/df), ties broken by term for
+    determinism). Document frequency is computed once on the term key —
+    a vocabulary-sized table that broadcasts back onto the doc-keyed
+    term counts, so the only big exchange is the map-side-combined
+    groupBy(doc, term)."""
+    n_docs = docs.count()
+    terms = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

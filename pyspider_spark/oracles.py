@@ -685,3 +685,136 @@ def pagerank_sql(
         FROM r{n_iter}
     """
 
+
+def repetition_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """Mirror of operators.textprep.repetition_stats: same line/paragraph
+    splits (literal-newline splits match Spark's regex split for these
+    patterns), same word regex, same top-2-gram slot fraction."""
+    def dup(arr: str) -> str:
+        return (f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+                f"ROUND((len({arr}) - len(list_distinct({arr})))"
+                f" / CAST(len({arr}) AS DOUBLE), 6) END")
+
+    return f"""
+        WITH lx AS (
+            SELECT {id_col},
+                   list_filter(string_split(COALESCE({text_col}, ''), chr(10)),
+                               x -> trim(x) != '') AS lines,
+                   list_filter(string_split(COALESCE({text_col}, ''),
+                                            chr(10) || chr(10)),
+                               x -> trim(x) != '') AS paras,
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        base AS (
+            SELECT {id_col},
+                   CAST(len(lines) AS INTEGER) AS n_lines,
+                   {dup('lines')} AS dup_line_frac,
+                   {dup('paras')} AS dup_para_frac,
+                   len(w) AS n_words, w
+            FROM lx
+        ),
+        gx AS (
+            SELECT {id_col}, n_words, w,
+                   unnest(range(1, len(w))) AS i
+            FROM base WHERE n_words >= 2
+        ),
+        gc AS (
+            SELECT {id_col}, n_words, w[i] || ' ' || w[i + 1] AS gram,
+                   COUNT(*) AS c
+            FROM gx GROUP BY ALL
+        ),
+        tg AS (
+            SELECT {id_col}, MAX(c) AS top_c FROM gc GROUP BY {id_col}
+        )
+        SELECT b.{id_col}, b.n_lines, b.dup_line_frac, b.dup_para_frac,
+               CASE WHEN b.n_words >= 2 THEN
+                   ROUND(t.top_c / CAST(b.n_words - 1 AS DOUBLE), 6)
+               ELSE 0.0 END AS top_2gram_frac
+        FROM base b LEFT JOIN tg t ON t.{id_col} = b.{id_col}
+    """
+
+
+def pii_scrub_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Mirror of operators.textprep.scrub_pii: same patterns applied in
+    the same fixed order, each class counted on the text AFTER the
+    previous class was redacted."""
+    from pyspider_spark.operators.textprep import PII_PATTERNS
+
+    ctes, prev = [], "s0"
+    ctes.append(f"s0 AS (SELECT {id_col}, COALESCE({text_col}, '') AS t FROM {table})")
+    counts: list[str] = []
+    for i, (name, pat) in enumerate(PII_PATTERNS.items(), start=1):
+        lit = pat.replace("'", "''")
+        carried = "".join(f" {c}," for c in counts)
+        ctes.append(
+            f"s{i} AS (SELECT {id_col},{carried}"
+            f" len(regexp_extract_all(t, '{lit}')) AS n_{name},"
+            f" regexp_replace(t, '{lit}', '<{name}>', 'g') AS t"
+            f" FROM {prev})"
+        )
+        counts.append(f"n_{name}")
+        prev = f"s{i}"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT {id_col}, {", ".join(f"CAST({c} AS INTEGER) AS {c}" for c in counts)},
+               md5(t) AS clean_fp
+        FROM {prev}
+    """
+
+
+def stratified_sample_sql(rates: dict[str, float], stratum_col: str = "lang",
+                          default_rate: float = 0.0, salt: str = "sample",
+                          mod: int = 1_000_000, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Mirror of operators.textprep.stratified_sample over the documents
+    table's native lang column (same md5-slice hash, same double-vs-double
+    threshold comparison — never an integer cast, whose rounding rules
+    differ between engines)."""
+    h = md5_hash56_sql(f"CAST({id_col} AS VARCHAR)", salt=salt)
+    case = " ".join(
+        f"WHEN '{s}' THEN {float(r)!r}" for s, r in sorted(rates.items())
+    )
+    return f"""
+        SELECT {id_col}, {stratum_col}
+        FROM {table}
+        WHERE CAST(({h}) % {mod} AS DOUBLE)
+            < (CASE {stratum_col} {case} ELSE {float(default_rate)!r} END) * {float(mod)!r}
+    """
+
+
+def tfidf_topk_sql(k: int = 3, min_df: int = 1, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirror of operators.textprep.tfidf_topk: same tokenization, same
+    score = tf * ln(N / df) in the same operand order (bit-identical IEEE
+    doubles before the shared ROUND)."""
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   unnest(regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                             '[a-z0-9]+')) AS term
+            FROM {table}
+        ),
+        tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM w GROUP BY ALL),
+        dfq AS (
+            SELECT term, COUNT(*) AS df FROM tf
+            GROUP BY term HAVING COUNT(*) >= {min_df}
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {table}),
+        s AS (
+            SELECT t.{id_col}, t.term, t.tf, d.df,
+                   ROUND(CAST(t.tf AS DOUBLE)
+                         * ln((SELECT n FROM nn) / CAST(d.df AS DOUBLE)), 6)
+                   AS score
+            FROM tf t JOIN dfq d ON d.term = t.term
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY {id_col} ORDER BY score DESC, term ASC
+            ) AS rn FROM s
+        )
+        SELECT {id_col}, term, tf, df, score FROM r WHERE rn <= {k}
+    """

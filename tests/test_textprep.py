@@ -1,0 +1,151 @@
+"""Corpus-prep operators (operators/textprep): repetition stats, PII
+scrubbing, stratified sampling, TF-IDF top-k. The sf0.01 oracle match is
+tests/test_queries_oracle.py; these are planted-fixture semantics tests
+for the paths the synthetic corpus doesn't exercise (newlines, PII
+strings, skewed strata)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspider_spark.operators.textprep import (
+    SAMPLE_MOD,
+    repetition_filter,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
+    tfidf_topk,
+)
+
+
+def test_repetition_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 2 distinct -> dup_line_frac 0.5;
+            # 2 paragraphs, both distinct -> dup_para_frac 0.0
+            (0, "spam line\nspam line\n\nspam line\nother line"),
+            # same 2-gram "buy now" 3x in 6 words -> 3/5 of the 5 slots
+            (1, "buy now buy now buy now"),
+            (2, "one"),          # < 2 words: top_2gram_frac defined 0.0
+            (3, ""),             # empty: all zeros
+            (4, None),           # null-safe
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["n_lines"] == 4
+    assert out[0]["dup_line_frac"] == pytest.approx(0.5)
+    assert out[0]["dup_para_frac"] == pytest.approx(0.0)
+    assert out[1]["top_2gram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] == 0.0
+    for d in (3, 4):
+        assert out[d]["n_lines"] == 0
+        assert (out[d]["dup_line_frac"], out[d]["top_2gram_frac"]) == (0.0, 0.0)
+
+
+def test_repetition_filter_drops_spam(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a perfectly ordinary sentence with many different words"),
+            (1, "spam spam spam spam spam spam spam spam"),  # top-2gram 1.0
+            (2, "dup line\ndup line\ndup line\nreal line"),  # dup lines 0.5
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in repetition_filter(docs).collect()}
+    assert kept == {0}
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a@b.com and c.d@e.org, call +1 (415) 555-0199,"
+                " host 10.0.0.1"),
+            (1, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (2, 1, 1)
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (0, 0, 0)
+    # the fingerprint is over the REDACTED text: same non-PII skeleton
+    # with different PII values -> same fingerprint
+    # NB: PII classes can overlap (a long dotted IP also matches the
+    # phone class — fixed application order makes that deterministic),
+    # so the twin uses an equally short IP that only the ipv4 class hits
+    twin = spark.createDataFrame(
+        [(0, "mail x@y.net and qq.w@zz.io, call +44 (020) 555-7777,"
+             " host 10.0.0.9")],
+        "doc_id long, text string",
+    )
+    # phone/ip literal lengths differ but redaction tokens normalize them
+    a = scrub_pii(docs.where("doc_id = 0")).collect()[0]["clean_fp"]
+    b = scrub_pii(twin).collect()[0]["clean_fp"]
+    assert a == b
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.5, "zh": 0.05}
+    got = stratified_sample(docs, rates, stratum_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 2000 per stratum; hash-Bernoulli should land near rate * n
+    assert abs(counts["en"] - 1000) < 150
+    assert abs(counts.get("zh", 0) - 100) < 60
+    # exactly reproducible: same ids on a different partitioning
+    ids1 = sorted(r["doc_id"] for r in got.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), rates, stratum_col="lang"
+        ).collect()
+    )
+    assert ids1 == ids2
+    # unknown stratum defaults to rate 0.0 (dropped)
+    extra = spark.createDataFrame([(99999, "xx")], "doc_id long, lang string")
+    assert stratified_sample(extra, rates, stratum_col="lang").count() == 0
+
+
+def test_stratified_sample_is_pushdown_predicate(spark, tmp_path):
+    """The sampler must stay a plain filter (no shuffle, no UDF) so
+    Catalyst keeps it next to the scan."""
+    p = str(tmp_path / "docs")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(p)
+    out = stratified_sample(
+        spark.read.parquet(p), {"en": 0.5}, stratum_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_topk_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana banana date"),
+            (2, "apple date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2, min_df=1)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # doc 0: apple tf=2 df=2 -> 2*ln(1.5); cherry tf=1 df=1 -> ln(3)
+    assert rows[(0, "apple")]["score"] == pytest.approx(
+        round(2 * math.log(3 / 2), 6)
+    )
+    assert rows[(0, "cherry")]["score"] == pytest.approx(round(math.log(3.0), 6))
+    # every doc returns at most k rows
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+    # min_df prunes singleton terms
+    pruned = tfidf_topk(docs, k=3, min_df=2)
+    assert pruned.where(F.col("term") == "cherry").count() == 0
