@@ -537,6 +537,141 @@ def q_tfidf_topk(spark, sf):
     return tfidf_topk(_t(spark, sf, "documents"), k=3, min_df=2)
 
 
+# synthetic boilerplate wrapped around every corpus doc (the corpus texts
+# carry no newlines, so the hot-line detector needs planted template
+# lines) — the oracle SQL wraps identically via text_expr
+_BOILER_HEADER = "==site-nav | home | search=="
+_BOILER_FOOTER = "==footer | contact | terms=="
+# target language mixture for the rebalance queries (corpus is en-heavy:
+# en upsample-flagged strata stay weight>1, zh/es get subsampled)
+_MIX_TARGETS = {"en": 0.3, "de": 0.25, "zh": 0.15, "fr": 0.2, "es": 0.1}
+
+
+def q_boilerplate_strip(spark, sf):
+    """CCNet-style line-frequency boilerplate removal: lines in >= 5
+    distinct docs (here: the planted nav/footer wrapped around every doc)
+    strip from all of them; rejoin preserves original line order. Hot set
+    is tiny by construction -> broadcast anti-join; reassembly is one
+    doc-keyed groupBy with a row-local array_sort (no window)."""
+    from pyspider_spark.operators.corpus import strip_boilerplate
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_HEADER + "\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n" + _BOILER_FOOTER),
+        ).alias("text"),
+    )
+    return strip_boilerplate(docs, min_docs=5)
+
+
+def q_ngram_contamination(spark, sf):
+    """GPT-3/Llama-2 style benchmark decontamination: distinct word
+    8-grams of each doc vs the gram set of a deterministic benchmark
+    slice (doc_id % 97 == 0). Benchmark grams reduce to broadcast 56-bit
+    hashes; the corpus side explodes thin (doc, hash) longs only."""
+    from pyspider_spark.operators.corpus import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    return ngram_contamination(
+        docs, docs.where(F.col("doc_id") % 97 == 0), n=8, min_hits=1
+    )
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing via a two-phase distributed
+    prefix sum (bucketed cumsum + broadcast bucket offsets) — the oracle
+    is the single global window cumsum, so the gate also proves the
+    bucketing is span-invariant."""
+    from pyspider_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), max_tokens=2048, bucket_span=64)
+
+
+def q_mixture_weights(spark, sf):
+    """Per-language resampling weights to hit a target mixture (target
+    share / observed share) + the capped Bernoulli keep-rate."""
+    from pyspider_spark.operators.corpus import mixture_weights
+
+    return mixture_weights(_t(spark, sf, "documents"), _MIX_TARGETS)
+
+
+def q_rebalance(spark, sf):
+    """Deterministic subsample toward the target mixture: data-derived
+    per-stratum rate, md5-slice Bernoulli keep predicate (reproducible
+    across engines/runs/re-shardings)."""
+    from pyspider_spark.operators.corpus import rebalance
+
+    return rebalance(_t(spark, sf, "documents"), _MIX_TARGETS)
+
+
+def q_dedup_paragraphs(spark, sf):
+    """Corpus-GLOBAL keep-first paragraph dedup (RefinedWeb exact-span
+    recipe at line granularity): the planted nav/footer survives only at
+    its globally-first (doc_id, pos) occurrence; natural exact-duplicate
+    corpus texts keep the lowest-doc_id copy. One keyed window + one
+    doc-keyed rebuild — never an unpartitioned sort."""
+    from pyspider_spark.operators.corpus import dedup_paragraphs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_HEADER + "\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n" + _BOILER_FOOTER),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs)
+
+
+# deterministic synthetic URLs over the documents table (the corpus has no
+# url column): every filter branch — scheme, blocklisted domain (as a dot
+# suffix of a deeper host), lexical pattern, over-length — gets a slice
+_URL_BLOCKLIST = ["badcasino.com", "tracker.example"]
+_URL_MAXLEN = 256
+
+
+def q_url_filter(spark, sf):
+    """C4/RefinedWeb-style URL filtering: scheme gate, dot-suffix domain
+    blocklist, lexical blocklist regex, length cap — first failing rule
+    wins. Pure row-local expressions (no join/exchange/UDF)."""
+    from pyspider_spark.operators.corpus import url_filter
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    url = (
+        F.when(d % 17 == 0, F.concat(F.lit("ftp://files.archive.example/"), s))
+        .when(d % 13 == 0, F.concat(F.lit("https://cdn.eu.badcasino.com:8443/p/"), s))
+        .when(
+            d % 11 == 0,
+            F.concat(
+                F.lit("https://host"), (d % 5).cast("string"),
+                F.lit(".example.com/free-casino-bonus/"), s,
+            ),
+        )
+        .when(
+            d % 7 == 0,
+            F.concat(F.lit("https://deep.example.com/"), F.repeat(F.lit("x"), 300),
+                     F.lit("/"), s),
+        )
+        .otherwise(F.concat(F.lit("https://en.encyclo.example.org/wiki/"), s))
+    )
+    pages = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    return url_filter(pages, _URL_BLOCKLIST, max_len=_URL_MAXLEN)
+
+
+_URL_EXPR_SQL = (
+    "CASE WHEN doc_id % 17 = 0 THEN 'ftp://files.archive.example/' || doc_id "
+    "WHEN doc_id % 13 = 0 THEN 'https://cdn.eu.badcasino.com:8443/p/' || doc_id "
+    "WHEN doc_id % 11 = 0 THEN 'https://host' || (doc_id % 5) "
+    "|| '.example.com/free-casino-bonus/' || doc_id "
+    "WHEN doc_id % 7 = 0 THEN 'https://deep.example.com/' || repeat('x', 300) "
+    "|| '/' || doc_id "
+    "ELSE 'https://en.encyclo.example.org/wiki/' || doc_id END"
+)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -727,6 +862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "tfidf_topk": q_tfidf_topk,
+        "boilerplate_strip": q_boilerplate_strip,
+        "ngram_contamination": q_ngram_contamination,
+        "pack_sequences": q_pack_sequences,
+        "mixture_weights": q_mixture_weights,
+        "rebalance_mix": q_rebalance,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "url_filter": q_url_filter,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -786,6 +928,28 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "stratified_sample": oracles.stratified_sample_sql(SAMPLE_RATES),
         "tfidf_topk": oracles.tfidf_topk_sql(k=3, min_df=2),
+        "boilerplate_strip": oracles.strip_boilerplate_sql(
+            min_docs=5,
+            text_expr=(
+                f"'{_BOILER_HEADER}' || chr(10) || COALESCE(text, '')"
+                f" || chr(10) || '{_BOILER_FOOTER}'"
+            ),
+        ),
+        "ngram_contamination": oracles.ngram_contamination_sql(
+            n=8, min_hits=1, bench_pred="doc_id % 97 = 0"
+        ),
+        "pack_sequences": oracles.pack_sequences_sql(max_tokens=2048),
+        "mixture_weights": oracles.mixture_weights_sql(_MIX_TARGETS),
+        "rebalance_mix": oracles.rebalance_sql(_MIX_TARGETS),
+        "dedup_paragraphs": oracles.dedup_paragraphs_sql(
+            text_expr=(
+                f"'{_BOILER_HEADER}' || chr(10) || COALESCE(text, '')"
+                f" || chr(10) || '{_BOILER_FOOTER}'"
+            ),
+        ),
+        "url_filter": oracles.url_filter_sql(
+            _URL_BLOCKLIST, max_len=_URL_MAXLEN, url_expr=_URL_EXPR_SQL
+        ),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

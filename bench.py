@@ -49,6 +49,13 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "embedding_near_dup",
+    # round 5: corpus-prep family (operators/corpus)
+    "boilerplate_strip",
+    "ngram_contamination",
+    "pack_sequences",
+    "rebalance_mix",
+    "dedup_paragraphs",
+    "url_filter",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

@@ -1,0 +1,430 @@
+"""Corpus-level preparation operators that complete the pretraining-data
+verbs beyond ``operators/textprep``: boilerplate line removal,
+benchmark-contamination detection, sequence packing, and domain-mix
+rebalancing.
+
+These are the remaining whole-corpus passes an LLM training pipeline runs
+between a crawl dump and the tokenizer (line-frequency boilerplate
+stripping as in CCNet / RefinedWeb, n-gram decontamination against eval
+benchmarks as in GPT-3 App. C / Llama-2 §A.6, concat-and-chunk sequence
+packing, and mixture reweighting), each expressed in the shape Spark
+wants at 100 TB:
+
+- ``strip_boilerplate``: line frequency is ONE map-side-combined
+  groupBy over per-doc DISTINCT lines; the hot set (lines in >=
+  ``min_docs`` docs) is by construction tiny relative to the corpus and
+  broadcasts into a left-anti join on the exploded lines; reassembly is
+  one doc-keyed exchange (array_sort over collected (pos, line) structs
+  — never a window sort).
+- ``ngram_contamination``: the benchmark gram set is eval-suite-sized
+  (thousands of docs, not billions) → distinct 56-bit gram hashes
+  broadcast; the corpus side explodes THIN (doc, gram_hash) rows; one
+  doc-keyed count. No corpus-vs-corpus join ever happens.
+- ``pack_sequences``: the classic two-phase distributed prefix sum —
+  per-bucket window cumsum (bucket = doc_id range, so intra-bucket
+  order composes to global order) plus a bucket-totals table that is
+  #buckets rows (a single-partition window over it is O(buckets), not
+  O(corpus)) broadcast back. The global token offset therefore never
+  funnels the corpus through one task, which a naive
+  ``Window.orderBy(doc_id)`` cumsum would.
+- ``mixture_weights`` / ``rebalance``: per-stratum counts are a
+  #strata-row aggregate; the keep decision is the same deterministic
+  md5-slice Bernoulli predicate as ``textprep.stratified_sample``
+  (engine-portable, resume-safe, pushdown-able) with the rate coming
+  from the data itself (target share / observed share).
+
+All are mirrored 1:1 in DuckDB (oracles.strip_boilerplate_sql /
+ngram_contamination_sql / pack_sequences_sql / mixture_weights_sql /
+rebalance_sql), so the driver gate value-hashes them end to end. The
+reference stops at result dumps (result_worker.py); this family is the
+Spark-first extension a crawl-to-training-corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspider_spark.functions.portable_hash import md5_hash56
+from pyspider_spark.operators.textprep import SAMPLE_MOD, _words
+
+# --- boilerplate line removal -------------------------------------------------
+
+
+def _lines(text: Column) -> Column:
+    """Trimmed, non-empty lines of a document as an array (row-local)."""
+    return F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def hot_lines(
+    docs: DataFrame, min_docs: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(line, n_docs_line): lines appearing in at least ``min_docs``
+    DISTINCT documents — navigation bars, footers, cookie banners. The
+    per-doc array_distinct happens row-local BEFORE the explode, so the
+    groupBy's map-side combine sees each (doc, line) once; the result is
+    small by construction (a line must recur across documents to
+    qualify), which is what lets the removal join broadcast."""
+    per_doc = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_lines(F.col(text_col)))).alias("line"),
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs_line"))
+        .where(F.col("n_docs_line") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame, min_docs: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_clean, n_lines, n_removed): every occurrence of a
+    hot line (>= ``min_docs`` docs) removed, remaining lines rejoined in
+    original order. CCNet-style line-level dedup against template
+    boilerplate.
+
+    Scale shape: explode → broadcast left-anti against the hot set → one
+    doc-keyed groupBy whose ordering need is satisfied by a row-local
+    array_sort over (pos, line) structs (no window, no secondary sort).
+    Docs whose every line was boilerplate (or that were empty) survive
+    with text_clean = '' via the left join from the base table."""
+    hot = F.broadcast(hot_lines(docs, min_docs, id_col, text_col).select("line"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    )
+    rebuilt = (
+        exploded.join(hot, "line", "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(_lines(F.col(text_col))).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+    )
+
+
+# --- benchmark contamination --------------------------------------------------
+
+
+def _word_ngrams(words_col: str, n: int) -> Column:
+    """Space-joined word n-grams of an array<string> column, row-local;
+    empty when the doc has fewer than ``n`` words."""
+    return F.expr(
+        f"CASE WHEN size({words_col}) >= {int(n)} THEN "
+        f"transform(sequence(1, size({words_col}) - {int(n) - 1}), "
+        f"p -> array_join(slice({words_col}, p, {int(n)}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated): how many of each corpus
+    document's DISTINCT word n-grams appear anywhere in the benchmark
+    set (GPT-3 App. C / Llama-2 §A.6 style decontamination, n=8 default
+    as in those recipes).
+
+    Scale shape: the benchmark is eval-suite-sized, so its distinct gram
+    set reduces to 56-bit portable hashes and BROADCASTS; the 100-TB
+    corpus side explodes thin (doc, gram_hash) longs — never gram
+    strings — and the only exchange is the doc-keyed hit count. A
+    corpus×corpus join never occurs. The 56-bit hash admits a ~|grams|²/2⁵⁶
+    false-hit probability per doc — standard decontamination practice."""
+    bench_text_col = bench_text_col or text_col
+
+    def gram_table(df: DataFrame, tc: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc"), _words(F.col(tc)).alias("w")
+        ).select("doc", F.array_distinct(_word_ngrams("w", n)).alias("grams"))
+
+    dg = gram_table(docs, text_col)
+    bench_hashes = F.broadcast(
+        gram_table(benchmark, bench_text_col)
+        .select(F.explode("grams").alias("g"))
+        .select(md5_hash56(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    hits = (
+        dg.select("doc", F.explode("grams").alias("g"))
+        .select("doc", md5_hash56(F.col("g")).alias("gh"))
+        .join(bench_hashes, "gh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        dg.select("doc", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= F.lit(int(min_hits))).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# --- sequence packing (concat-and-chunk) ---------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    bucket_span: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, pack_id, pack_pos): GPT-style
+    concat-and-chunk packing — documents concatenated in doc_id order
+    into one token stream cut every ``max_tokens``; each doc lands at
+    ``start_offset`` = the exact global prefix sum of token counts, in
+    pack ``floor(start_offset / max_tokens)`` at in-pack position
+    ``start_offset % max_tokens``.
+
+    The global prefix sum is the scale hazard: ``Window.orderBy(doc_id)``
+    with no partition funnels the whole corpus through ONE task. This is
+    the classic two-phase scan instead: bucket = floor(doc_id /
+    bucket_span) (a RANGE bucket, so intra-bucket order composes to the
+    global order), cumsum WITHIN each bucket (partitioned window,
+    parallel), then per-bucket totals — #buckets rows — get their own
+    exclusive prefix in a single-partition window that is O(buckets),
+    not O(corpus), and broadcast back. Choose bucket_span so #buckets ≈
+    a few × cluster cores."""
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(int(bucket_span))).alias("_bucket"),
+    )
+    w_intra = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = base.withColumn("_cum", F.sum("n_tokens").over(w_intra))
+    # bucket totals: #buckets rows — the ONLY single-partition window in
+    # the plan runs over this tiny table, never the corpus
+    w_bucket = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "_bucket",
+            F.coalesce(F.sum("_tot").over(w_bucket), F.lit(0)).alias("_off"),
+        )
+    )
+    start = F.col("_off") + F.col("_cum") - F.col("n_tokens")
+    return intra.join(F.broadcast(offsets), "_bucket").select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(int(max_tokens))).cast("long").alias("pack_id"),
+        (start % F.lit(int(max_tokens))).alias("pack_pos"),
+    )
+
+
+# --- domain-mix rebalancing -----------------------------------------------------
+
+
+def _weights_raw(
+    docs: DataFrame, targets: dict[str, float], stratum_col: str
+) -> DataFrame:
+    """(stratum, n_docs, _w): unrounded weight = target share / observed
+    share = target_frac × total / n_docs. Kept unrounded so the
+    ``rebalance`` threshold compares the same IEEE double in both
+    engines (rounding is display-only, in ``mixture_weights``)."""
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    tgt = F.lit(0.0)
+    for s, t in sorted(targets.items()):
+        tgt = F.when(F.col("stratum") == s, F.lit(float(t))).otherwise(tgt)
+    return counts.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_docs",
+        (tgt * F.col("_total").cast("double") / F.col("n_docs").cast("double")).alias(
+            "_w"
+        ),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame, targets: dict[str, float], stratum_col: str = "lang"
+) -> DataFrame:
+    """(stratum, n_docs, weight, sample_rate): per-stratum resampling
+    weight to move the corpus to the ``targets`` mixture (target share /
+    observed share) and the capped Bernoulli keep-rate min(weight, 1).
+    Weights > 1 mean the stratum is UNDER-represented (needs upsampling
+    / more epochs — flagged, not applied: subsampling can only remove).
+    A #strata-row aggregate — trivially broadcastable."""
+    return _weights_raw(docs, targets, stratum_col).select(
+        "stratum",
+        "n_docs",
+        F.round(F.col("_w"), 6).alias("weight"),
+        F.round(F.least(F.col("_w"), F.lit(1.0)), 6).alias("sample_rate"),
+    )
+
+
+def rebalance(
+    docs: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """(doc_id, stratum): deterministic subsample moving the corpus
+    toward the target mixture — keep a row iff md5_hash56(salt ‖ id) mod
+    1e6 < min(weight, 1) × 1e6, with the weight computed FROM the data
+    (unlike ``stratified_sample``, whose rates are caller-supplied).
+    Same portable-hash Bernoulli predicate: reproducible across engines,
+    runs, and re-shardings, and the broadcast rate join keeps it one
+    scan + one tiny join at 100 TB."""
+    rates = F.broadcast(
+        _weights_raw(docs, targets, stratum_col).select(
+            "stratum", F.least(F.col("_w"), F.lit(1.0)).alias("_rate")
+        )
+    )
+    h = F.pmod(md5_hash56(F.col(id_col).cast("string"), salt=salt), F.lit(SAMPLE_MOD))
+    return (
+        docs.join(rates, docs[stratum_col] == rates["stratum"])
+        .where(h.cast("double") < F.col("_rate") * F.lit(float(SAMPLE_MOD)))
+        .select(F.col(id_col), F.col(stratum_col).alias("stratum"))
+    )
+
+
+# --- global paragraph dedup (keep-first) ---------------------------------------
+
+
+def dedup_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_clean, n_lines, n_removed): corpus-GLOBAL exact
+    paragraph deduplication, keep-first — every occurrence of a paragraph
+    after its first (ordered by (doc_id, position)) is removed, including
+    repeats later in the same document. The RefinedWeb / "Deduplicating
+    Training Data Makes Language Models Better" exact-duplicate-span
+    recipe at paragraph granularity (unit = trimmed non-empty line, like
+    ``strip_boilerplate`` — which removes by FREQUENCY; this removes by
+    PRECEDENCE, keeping exactly one copy corpus-wide).
+
+    Scale shape: explode → key on the full 128-bit md5 of the line (the
+    shuffle carries a 32-char key + (doc, pos) longs, not document text
+    for grouping) → ONE window partitioned BY THE KEY (tiny groups,
+    fully parallel — never an unpartitioned sort) picks the first
+    occurrence → doc-keyed rebuild via row-local array_sort, no second
+    window. Nothing broadcasts; nothing is corpus-wide-sorted."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_lines(F.col(text_col))).alias("pos", "line"),
+    ).withColumn("key", F.md5(F.col("line")))
+    w_key = Window.partitionBy("key").orderBy("doc", "pos")
+    kept = (
+        exploded.withColumn("_rn", F.row_number().over(w_key))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "key")
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(_lines(F.col(text_col))).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+    )
+
+
+# --- URL filtering --------------------------------------------------------------
+
+# C4 / RefinedWeb-style lexical URL blocklist terms (the public recipes
+# match curated word lists against the whole URL, lowercased)
+DEFAULT_URL_BLOCK_RE = "(porn|xxx|casino|gambl|viagra|escort|lottery)"
+
+_URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def url_filter(
+    pages: DataFrame,
+    blocked_domains: list[str],
+    block_re: str = DEFAULT_URL_BLOCK_RE,
+    max_len: int = 2048,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """(id, url, host, reason, kept): C4/RefinedWeb-style URL filtering —
+    scheme gate (http/https only), registrable-domain blocklist
+    (UT1-style: ANY dot-suffix of the host matches, so a blocklisted
+    ``badsite.com`` also blocks ``cdn.eu.badsite.com``), lexical blocklist
+    regex over the whole lowercased URL, and a length cap. ``reason`` is
+    the FIRST failing rule in that fixed order (NULL ⇒ kept).
+
+    Scale shape: 100% row-local whole-stage-codegen expressions — the
+    blocklist is a literal IN-array (``arrays_overlap`` against the
+    host's dot-suffixes, built row-local), so the plan has NO join, NO
+    exchange, NO UDF; the filter composes with any scan and pushes down
+    as a plain predicate."""
+    host = F.lower(
+        F.element_at(F.split(F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1), ":"), 1)
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    blocked = F.array(*[F.lit(d.lower()) for d in sorted(set(blocked_domains))])
+    reason = (
+        F.when(~F.col(url_col).rlike("^https?://"), F.lit("scheme"))
+        .when(F.arrays_overlap(suffixes, blocked), F.lit("domain"))
+        .when(F.lower(F.col(url_col)).rlike(block_re), F.lit("pattern"))
+        .when(F.length(F.col(url_col)) > max_len, F.lit("length"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return pages.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        reason.alias("reason"),
+    ).withColumn("kept", F.col("reason").isNull())

@@ -663,6 +663,49 @@ class StoredFilter:
                 max(1, expected_per_shard) / (slots_per_bucket * load_factor)))))
             self.params = {"n_shards": n_shards, "nb": nb, "slots": slots_per_bucket}
         self.version = self._discover_version()
+        self.tag: dict | None = None
+        if self.version > 0:
+            meta = self._read_meta(self.version)
+            if meta is not None:
+                stored = meta.get("params")
+                if stored is not None and {k: int(v) for k, v in stored.items()} != self.params:
+                    # reopening with different sizing would mis-address every
+                    # probe against the on-disk tables — refuse, loudly
+                    raise ValueError(
+                        f"StoredFilter at {self.path} was built with params "
+                        f"{stored}, reopened with {self.params}"
+                    )
+                self.tag = meta.get("tag")
+
+    # persistent filters advertise tag support so the crawl loop can stamp
+    # versions with progress markers (e.g. through_round) for cheap resume
+    persistent = True
+
+    def _meta_path(self, version: int) -> str:
+        import os
+
+        # underscore prefix: Spark's file index skips _-prefixed entries
+        # (like _SUCCESS), so the sidecar never pollutes the parquet scan
+        return os.path.join(self.path, f"v{version}", "_META.json")
+
+    def _read_meta(self, version: int) -> dict | None:
+        import json
+        import os
+
+        p = self._meta_path(version)
+        if not os.path.exists(p):
+            return None  # meta write lost to a crash: params unchecked, tag unknown
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_meta(self, version: int, tag: dict | None) -> None:
+        import json
+
+        with open(self._meta_path(version), "w") as f:
+            json.dump({"params": self.params, "tag": tag}, f)
 
     def _discover_version(self) -> int:
         """Last COMMITTED version on disk (highest v{n} whose parquet dir
@@ -691,14 +734,20 @@ class StoredFilter:
             f"{self.path}/v{self.version}"
         )
 
-    def _apply(self, df: DataFrame, op: str, taskid_col: str, peak_acc=None) -> None:
+    def _apply(self, df: DataFrame, op: str, taskid_col: str, peak_acc=None,
+               tag: dict | None = None) -> None:
         new_state = filter_state_apply(
             self._state(), df, self.kind, op, self.params, taskid_col,
             peak_acc=peak_acc, emit_untouched=True,
         )
         nxt = self.version + 1
         new_state.write.mode("overwrite").parquet(f"{self.path}/v{nxt}")
+        # meta AFTER the _SUCCESS-marked parquet: a crash in between leaves
+        # a committed version with no meta — readers then treat the tag as
+        # unknown (full catch-up on resume), never as falsely fresh
+        self._write_meta(nxt, tag)
         self.version = nxt
+        self.tag = tag
         self._prune_versions()
 
     def _prune_versions(self) -> None:
@@ -718,13 +767,18 @@ class StoredFilter:
             if m and int(m.group(1)) <= floor:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
-    def add_df(self, df: DataFrame, taskid_col: str = "taskid", peak_acc=None) -> None:
-        self._apply(df, "add", taskid_col, peak_acc=peak_acc)
+    def add_df(self, df: DataFrame, taskid_col: str = "taskid", peak_acc=None,
+               tag: dict | None = None) -> None:
+        self._apply(df, "add", taskid_col, peak_acc=peak_acc, tag=tag)
 
     def delete_df(self, df: DataFrame, taskid_col: str = "taskid", peak_acc=None) -> None:
+        """Unlearn — and CLEAR the progress tag: after a delete, the filter
+        is no longer a superset of any EARLIER snapshot's frontier (the
+        doomed keys are gone), so a resume from such a snapshot must do the
+        full idempotent catch-up add, not trust a through_round marker."""
         if self.kind != "cuckoo":
             raise ValueError("delete requires kind='cuckoo'")
-        self._apply(df, "delete", taskid_col, peak_acc=peak_acc)
+        self._apply(df, "delete", taskid_col, peak_acc=peak_acc, tag=None)
 
     def split_candidates(self, cands: DataFrame, peak_acc=None) -> tuple[DataFrame, DataFrame]:
         """(definitely_new, maybe_seen) against the stored state — the

@@ -818,3 +818,235 @@ def tfidf_topk_sql(k: int = 3, min_df: int = 1, table: str = "documents",
         )
         SELECT {id_col}, term, tf, df, score FROM r WHERE rn <= {k}
     """
+
+
+# --- corpus-prep oracles (operators/corpus) ----------------------------------
+
+
+def strip_boilerplate_sql(min_docs: int = 5, table: str = "documents",
+                          id_col: str = "doc_id", text_expr: str = "text") -> str:
+    """Mirror of operators.corpus.strip_boilerplate: same line
+    normalization (trim, drop empties), hotness = distinct-doc count >=
+    min_docs, removal of every occurrence, order-preserving rejoin.
+    ``text_expr`` lets the driver query wrap the corpus text with
+    synthetic boilerplate in BOTH engines identically."""
+    lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
+             f"x -> trim(x)), x -> x <> '')")
+    return f"""
+        WITH base AS (SELECT {id_col}, {lines} AS lines FROM {table}),
+        perdoc AS (
+            SELECT {id_col}, unnest(list_distinct(lines)) AS line FROM base
+        ),
+        hot AS (
+            SELECT line FROM (
+                SELECT line, COUNT(*) AS c FROM perdoc GROUP BY line
+            ) WHERE c >= {int(min_docs)}
+        ),
+        ex AS (
+            SELECT {id_col}, unnest(lines) AS line,
+                   unnest(generate_series(1, len(lines))) AS pos
+            FROM base
+        ),
+        kept AS (SELECT e.* FROM ex e ANTI JOIN hot h ON e.line = h.line),
+        reb AS (
+            SELECT {id_col},
+                   string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY {id_col}
+        )
+        SELECT b.{id_col},
+               COALESCE(r.text_clean, '') AS text_clean,
+               CAST(len(b.lines) AS BIGINT) AS n_lines,
+               CAST(len(b.lines) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM base b LEFT JOIN reb r USING ({id_col})
+    """
+
+
+def ngram_contamination_sql(n: int = 8, min_hits: int = 1,
+                            bench_pred: str = "doc_id % 97 = 0",
+                            table: str = "documents", id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """Mirror of operators.corpus.ngram_contamination with the benchmark
+    side selected by ``bench_pred`` over the same table (the driver query
+    uses a deterministic id-slice as the synthetic benchmark). Grams hash
+    through the shared portable md5 slice in both engines."""
+    gh = md5_hash56_sql("gram")
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        g AS (
+            SELECT {id_col}, list_distinct(
+                CASE WHEN len(w) >= {int(n)} THEN
+                    [array_to_string(w[p:p+{int(n) - 1}], ' ')
+                     for p in generate_series(1, len(w) - {int(n) - 1})]
+                ELSE [] END) AS grams
+            FROM w
+        ),
+        bh AS (
+            SELECT DISTINCT {gh} AS gh FROM (
+                SELECT unnest(grams) AS gram FROM g WHERE {bench_pred}
+            )
+        ),
+        eh AS (
+            SELECT {id_col}, {gh} AS gh FROM (
+                SELECT {id_col}, unnest(grams) AS gram FROM g
+            )
+        ),
+        h AS (
+            SELECT {id_col}, COUNT(*) AS n_hits
+            FROM eh JOIN bh USING (gh) GROUP BY {id_col}
+        )
+        SELECT g.{id_col},
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n_hits, 0) >= {int(min_hits)} AS contaminated
+        FROM g LEFT JOIN h USING ({id_col})
+    """
+
+
+def pack_sequences_sql(max_tokens: int = 2048, table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirror of operators.corpus.pack_sequences as ONE global window
+    cumsum — correct at oracle scale, and exactly what the two-phase
+    bucketed prefix sum must reproduce for ANY bucket_span (the driver
+    gate therefore also checks the bucketing's span-invariance)."""
+    return f"""
+        WITH t AS (
+            SELECT {id_col},
+                   CAST(len(regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                               '[a-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM {table}
+        ),
+        c AS (
+            SELECT {id_col}, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT {id_col}, n_tokens, start_offset,
+               CAST(floor(start_offset / {int(max_tokens)}) AS BIGINT) AS pack_id,
+               start_offset % {int(max_tokens)} AS pack_pos
+        FROM c
+    """
+
+
+def _mixture_rate_sql(targets: dict[str, float], stratum_col: str,
+                      table: str) -> str:
+    """Shared CTE body computing (stratum, n_docs, raw weight _w) with
+    the same operand order as operators.corpus._weights_raw."""
+    case = " ".join(f"WHEN '{s}' THEN {float(t)!r}" for s, t in sorted(targets.items()))
+    return f"""
+        c AS (
+            SELECT {stratum_col} AS stratum, COUNT(*) AS n_docs
+            FROM {table} GROUP BY 1
+        ),
+        tt AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM c),
+        wts AS (
+            SELECT stratum, n_docs,
+                   (CASE stratum {case} ELSE 0.0 END) * (SELECT total FROM tt)
+                       / CAST(n_docs AS DOUBLE) AS _w
+            FROM c
+        )
+    """
+
+
+def mixture_weights_sql(targets: dict[str, float], stratum_col: str = "lang",
+                        table: str = "documents") -> str:
+    """Mirror of operators.corpus.mixture_weights."""
+    return f"""
+        WITH {_mixture_rate_sql(targets, stratum_col, table)}
+        SELECT stratum, n_docs,
+               ROUND(_w, 6) AS weight,
+               ROUND(LEAST(_w, 1.0), 6) AS sample_rate
+        FROM wts
+    """
+
+
+def rebalance_sql(targets: dict[str, float], stratum_col: str = "lang",
+                  id_col: str = "doc_id", salt: str = "mix",
+                  mod: int = 1_000_000, table: str = "documents") -> str:
+    """Mirror of operators.corpus.rebalance: data-derived rate, same
+    md5-slice Bernoulli predicate, same double-vs-double comparison on
+    the UNROUNDED rate."""
+    h = md5_hash56_sql(f"CAST({id_col} AS VARCHAR)", salt=salt)
+    return f"""
+        WITH {_mixture_rate_sql(targets, stratum_col, table)}
+        SELECT d.{id_col}, d.{stratum_col} AS stratum
+        FROM {table} d JOIN wts r ON d.{stratum_col} = r.stratum
+        WHERE CAST(({h}) % {mod} AS DOUBLE)
+            < LEAST(r._w, 1.0) * {float(mod)!r}
+    """
+
+
+def dedup_paragraphs_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_expr: str = "text") -> str:
+    """Mirror of operators.corpus.dedup_paragraphs: same line
+    normalization, global keep-first by (doc, pos) via a keyed
+    row_number, order-preserving rejoin."""
+    lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
+             f"x -> trim(x)), x -> x <> '')")
+    return f"""
+        WITH base AS (SELECT {id_col}, {lines} AS lines FROM {table}),
+        ex AS (
+            SELECT {id_col}, unnest(lines) AS line,
+                   unnest(generate_series(1, len(lines))) AS pos
+            FROM base
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(line) ORDER BY {id_col}, pos
+            ) AS rn FROM ex
+        ),
+        reb AS (
+            SELECT {id_col},
+                   string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_kept
+            FROM r WHERE rn = 1 GROUP BY {id_col}
+        )
+        SELECT b.{id_col},
+               COALESCE(r.text_clean, '') AS text_clean,
+               CAST(len(b.lines) AS BIGINT) AS n_lines,
+               CAST(len(b.lines) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM base b LEFT JOIN reb r USING ({id_col})
+    """
+
+
+def url_filter_sql(blocked_domains: list[str],
+                   block_re: str = "(porn|xxx|casino|gambl|viagra|escort|lottery)",
+                   max_len: int = 2048, table: str = "documents",
+                   id_col: str = "doc_id", url_expr: str = "url") -> str:
+    """Mirror of operators.corpus.url_filter: same host extraction (port
+    stripped, lowercased), same dot-suffix blocklist semantics, same
+    first-failing-rule reason order."""
+    blocked = ", ".join(f"'{d.lower()}'" for d in sorted(set(blocked_domains)))
+    host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    return f"""
+        WITH u AS (SELECT {id_col}, {url_expr} AS url FROM {table}),
+        h AS (
+            SELECT {id_col}, url,
+                   lower(string_split(regexp_extract(url, '{host_re}', 1), ':')[1])
+                       AS host
+            FROM u
+        ),
+        s AS (SELECT *, string_split(host, '.') AS labels FROM h),
+        rr AS (
+            SELECT {id_col}, url, host,
+                   CASE
+                       WHEN NOT regexp_matches(url, '^https?://') THEN 'scheme'
+                       WHEN list_has_any(
+                           [array_to_string(list_slice(labels, i, len(labels)), '.')
+                            for i in generate_series(1, greatest(len(labels), 1))],
+                           [{blocked}]) THEN 'domain'
+                       WHEN regexp_matches(lower(url), '{block_re}') THEN 'pattern'
+                       WHEN length(url) > {int(max_len)} THEN 'length'
+                   END AS reason
+            FROM s
+        )
+        SELECT {id_col}, url, host, reason, reason IS NULL AS kept FROM rr
+    """

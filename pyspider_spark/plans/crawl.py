@@ -136,6 +136,45 @@ def delete_projects(state, config, doomed, bloom=None, all_results=None,
     return all_results, pending_extra, pending_syn
 
 
+def _make_urlseen(spark, urlseen_filter: str, bloom_expected: int,
+                  urlseen_path: str | None):
+    """Construct the URL-seen prefilter named by ``urlseen_filter``:
+    driver-held 'bloom'/'cuckoo', or parquet-resident 'stored-bloom'/
+    'stored-cuckoo' (the 10^10-key posture — requires ``urlseen_path``)."""
+    from pyspider_spark.operators.urlseen import (
+        ShardedBloom,
+        ShardedCuckoo,
+        StoredFilter,
+    )
+
+    if urlseen_filter in ("bloom", "cuckoo"):
+        cls = {"bloom": ShardedBloom, "cuckoo": ShardedCuckoo}[urlseen_filter]
+        return cls(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
+    if urlseen_filter in ("stored-bloom", "stored-cuckoo"):
+        if not urlseen_path:
+            raise ValueError(f"urlseen_filter={urlseen_filter!r} requires urlseen_path")
+        return StoredFilter(
+            spark, urlseen_path, kind=urlseen_filter.split("-", 1)[1],
+            n_shards=16, expected_per_shard=max(1024, bloom_expected // 16),
+        )
+    raise ValueError(
+        f"urlseen_filter must be bloom|cuckoo|stored-bloom|stored-cuckoo,"
+        f" got {urlseen_filter!r}"
+    )
+
+
+def _filter_add(bloom, df: DataFrame, through_round: int | None,
+                taskid_col: str = "taskid") -> None:
+    """add_df, stamping persistent filters with the round their state is
+    consistent through (driver-held filters take no tag — they are
+    rebuilt on resume anyway)."""
+    if getattr(bloom, "persistent", False):
+        tag = None if through_round is None else {"through_round": int(through_round)}
+        bloom.add_df(df, taskid_col=taskid_col, tag=tag)
+    else:
+        bloom.add_df(df, taskid_col=taskid_col)
+
+
 def bootstrap(spark: SparkSession, seeds: DataFrame, config: RoundConfig) -> RoundState:
     """Round -1: seeds become the initial frontier (scheduler.on_new_request
     for each seed; all unseen ⇒ plain inserts)."""
@@ -162,6 +201,7 @@ def crawl(
     redirects: DataFrame | None = None,
     project_updates: dict[int, dict[str, dict]] | None = None,
     urlseen_filter: str = "bloom",
+    urlseen_path: str | None = None,
 ) -> CrawlReport:
     """``project_updates``: {round_no: {project: config_delta}} — the
     quantized _update_projects lifecycle (scheduler.py:206-259): before the
@@ -179,15 +219,20 @@ def crawl(
 
     ``urlseen_filter``: 'bloom' (default) or 'cuckoo' — which URL-seen
     prefilter ``use_bloom=True`` builds. Both split candidates identically;
-    the cuckoo additionally supports deletion (project delete)."""
+    the cuckoo additionally supports deletion (project delete). The
+    'stored-bloom' / 'stored-cuckoo' variants (require ``urlseen_path``)
+    keep the filter in versioned parquet instead of driver memory — the
+    10^10-key posture: no process ever holds more than one shard's bytes,
+    and the filter survives restarts (resume catches up from its
+    through_round tag instead of rebuilding)."""
     state = bootstrap(spark, seeds, config)
     bloom = None
     if use_bloom:
-        from pyspider_spark.operators.urlseen import ShardedBloom, ShardedCuckoo
-
-        cls = {"bloom": ShardedBloom, "cuckoo": ShardedCuckoo}[urlseen_filter]
-        bloom = cls(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
-        bloom.add_df(state.frontier)
+        bloom = _make_urlseen(spark, urlseen_filter, bloom_expected, urlseen_path)
+        # untagged: round 0's own inserts also carry round_no=0, so this
+        # pre-loop add does NOT yet cover "everything through round 0" —
+        # the first tagged add lands after round 0's snapshot commits
+        _filter_add(bloom, state.frontier, through_round=None)
     return _loop(
         spark, state, documents, config, robots, max_rounds, store, collect_results, on_round,
         bloom=bloom, redirects=redirects, project_updates=project_updates, seeds=seeds,
@@ -205,14 +250,18 @@ def resume(
     use_bloom: bool = False,
     bloom_expected: int = 1 << 20,
     urlseen_filter: str = "bloom",
+    urlseen_path: str | None = None,
     project_updates: dict[int, dict[str, dict]] | None = None,
     seeds: DataFrame | None = None,
 ) -> CrawlReport:
     """Continue from the last committed snapshot (manifest flip is atomic,
-    so this is always a consistent round boundary). With ``use_bloom`` the
-    URL-seen prefilter is rebuilt from the recovered frontier (one
-    distributed pass) — the filter is a cache, not state, so it is never
-    checkpointed; without it a resumed 10^10-row frontier would fall back
+    so this is always a consistent round boundary). With ``use_bloom`` a
+    driver-held prefilter is rebuilt from the recovered frontier (one
+    distributed pass — the filter is a cache, not state, so it is never
+    checkpointed); a STORED filter reopens its committed parquet version
+    and catches up only the frontier rows newer than its through_round
+    tag — after a mid-round crash that delta is one round's inserts, not
+    a 10^10-row rebuild. Without a filter a resumed frontier falls back
     to exact-anti-join-only routing (correct, but loses the fast path)."""
     manifest = store.read_manifest()
     if manifest is None:
@@ -224,11 +273,21 @@ def resume(
     )
     bloom = None
     if use_bloom:
-        from pyspider_spark.operators.urlseen import ShardedBloom, ShardedCuckoo
-
-        cls = {"bloom": ShardedBloom, "cuckoo": ShardedCuckoo}[urlseen_filter]
-        bloom = cls(n_shards=16, expected_per_shard=max(1024, bloom_expected // 16))
-        bloom.add_df(state.frontier)
+        bloom = _make_urlseen(spark, urlseen_filter, bloom_expected, urlseen_path)
+        last = int(manifest["round_no"])
+        tag = getattr(bloom, "tag", None) if getattr(bloom, "persistent", False) else None
+        through = tag.get("through_round", -1) if tag else -1
+        if not getattr(bloom, "persistent", False) or getattr(bloom, "version", 0) == 0 or through < 0:
+            # driver-held (always rebuilt), empty, or untagged stored state
+            # (crash before the meta landed, or post-delete): full
+            # idempotent catch-up over the recovered frontier
+            _filter_add(bloom, state.frontier, through_round=last)
+        elif through < last:
+            # stored filter is consistent through `through`; add only the
+            # rounds it missed (idempotent — updated rows re-add as no-ops)
+            delta = state.frontier.where(F.col("round_no") > through)
+            _filter_add(bloom, delta, through_round=last)
+        # through == last: filter already covers the snapshot — no pass at all
     return _loop(
         spark, state, documents, config, robots, max_rounds, store, collect_results,
         None, bloom=bloom, project_updates=project_updates, seeds=seeds,
@@ -316,8 +375,14 @@ def _loop(
         out.state.frontier = new_frontier
         if bloom is not None:
             # fold this round's (possibly) new taskids into the URL-seen set;
-            # re-adding known ids is a no-op, so the whole round delta is safe
-            bloom.add_df(new_frontier.where(new_frontier.round_no == out.state.round_no - 1))
+            # re-adding known ids is a no-op, so the whole round delta is
+            # safe. Runs AFTER the snapshot commit, so a stored filter's
+            # through_round tag is never ahead of a readable snapshot.
+            _filter_add(
+                bloom,
+                new_frontier.where(new_frontier.round_no == out.state.round_no - 1),
+                through_round=out.state.round_no - 1,
+            )
         if out.state.postponed is not None:
             # the count came free with the round's stats job; transfer is
             # capped — large sets stay distributed (bound_postponed)

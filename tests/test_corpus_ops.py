@@ -1,0 +1,261 @@
+"""Corpus-prep operators (operators/corpus): planted-case semantics +
+plan-shape assertions (broadcast where small, partitioned windows where
+big — the 100-TB shapes the docstrings claim)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspider_spark.operators.corpus import (
+    hot_lines,
+    mixture_weights,
+    ngram_contamination,
+    pack_sequences,
+    rebalance,
+    strip_boilerplate,
+)
+
+NAV = "==nav=="
+FOOT = "==footer=="
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    rows = [
+        (0, f"{NAV}\nunique zero\n{FOOT}"),
+        (1, f"{NAV}\nunique one\n{FOOT}"),
+        (2, f"{NAV}\n  {NAV}  \nunique two\n{FOOT}"),  # dup hot line + trim
+        (3, f"{NAV}\n{FOOT}"),  # all-boilerplate doc
+        (4, None),  # null text
+        (5, "only original content here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_lines_distinct_doc_count(spark, boiler_docs):
+    hot = {r["line"]: r["n_docs_line"] for r in hot_lines(boiler_docs, min_docs=4).collect()}
+    # NAV appears twice in doc 2 but counts ONE doc there (distinct-doc
+    # hotness), so both template lines sit at exactly 4 docs
+    assert hot == {NAV: 4, FOOT: 4}
+
+
+def test_strip_boilerplate_semantics(spark, boiler_docs):
+    out = {r["doc_id"]: r for r in strip_boilerplate(boiler_docs, min_docs=4).collect()}
+    assert len(out) == 6  # every doc survives, even emptied/null ones
+    assert out[0]["text_clean"] == "unique zero"
+    assert out[2]["text_clean"] == "unique two"
+    assert out[2]["n_removed"] == 3  # both NAV occurrences + FOOT
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["text_clean"] == "" and out[4]["n_lines"] == 0
+    assert out[5]["text_clean"] == "only original content here"
+    assert out[5]["n_removed"] == 0
+
+
+def test_strip_boilerplate_preserves_line_order(spark):
+    docs = spark.createDataFrame(
+        [(i, f"{NAV}\nalpha {i}\nbeta {i}\ngamma {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    row = strip_boilerplate(docs, min_docs=5).where("doc_id = 3").first()
+    assert row["text_clean"] == "alpha 3\nbeta 3\ngamma 3"
+
+
+def test_strip_boilerplate_hot_join_is_broadcast(spark, boiler_docs):
+    plan = _plan(strip_boilerplate(boiler_docs, min_docs=4))
+    # the anti-join against the hot set must be broadcast, and reassembly
+    # must not sort through a window
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_ngram_contamination_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "brown fox jumps over something else entirely now ok fine"),
+            (2, "completely different words in this document body here"),
+            (3, "too short"),  # < n words -> zero grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(docs, bench, n=5).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] > 0
+    assert not out[1]["contaminated"]  # shares 'brown fox jumps over' (4-run) only
+    assert not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_ngram_contamination_bench_is_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} a b c d e f g h") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(ngram_contamination(docs, docs.limit(2), n=3))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"t{j}" for j in range(rng.randint(0, 40)))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(docs, max_tokens=128, bucket_span=37).collect()
+    }
+    # reference: plain sequential scan
+    off = 0
+    for i, text in rows:
+        n = len(text.split()) if text else 0
+        assert got[i] == (n, off, off // 128, off % 128), f"doc {i}"
+        off += n
+
+
+def test_pack_sequences_span_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, pack_sequences(docs, 16, bucket_span=7).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, 16, bucket_span=1 << 20).collect()))
+    assert a == b
+
+
+def test_pack_sequences_no_corpus_wide_window(spark):
+    """The only unpartitioned window may run over the #buckets-row totals
+    table; the corpus-sized window must be partitioned by _bucket."""
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(pack_sequences(docs, 16, bucket_span=8))
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert windows, "expected window operators in the packing plan"
+    # every windowspec keys on _bucket: the corpus side PARTITIONS by it,
+    # the totals side ORDERS by it over the #buckets-row aggregate output
+    for ln in windows:
+        assert "_bucket#" in ln
+    # and the bucket-offset join comes back as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_weights_math(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 60 else ("de" if i < 90 else "zh")) for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = {r["stratum"]: r for r in mixture_weights(docs, {"en": 0.3, "de": 0.3, "zh": 0.4}, "lang").collect()}
+    assert out["en"]["n_docs"] == 60
+    assert out["en"]["weight"] == 0.5  # 0.3*100/60
+    assert out["en"]["sample_rate"] == 0.5
+    assert out["de"]["weight"] == 1.0
+    assert out["zh"]["weight"] == 4.0  # under-represented: flagged > 1
+    assert out["zh"]["sample_rate"] == 1.0  # but keep-rate caps at 1
+
+
+def test_rebalance_deterministic_and_directional(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 10 < 8 else "zh") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    targets = {"en": 0.5, "zh": 0.5}
+    a = rebalance(docs, targets, "lang")
+    b = rebalance(docs, targets, "lang")
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # same rows every run
+    kept = a.groupBy("stratum").count().collect()
+    counts = {r["stratum"]: r["count"] for r in kept}
+    # zh is under target -> kept whole; en subsampled toward ~500
+    assert counts["zh"] == 200
+    assert 400 < counts["en"] < 600
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    from pyspider_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared para\nunique zero"),
+            (1, "unique one\nshared para"),          # later doc loses the dup
+            (2, "twice\ntwice\nunique two"),          # same-doc repeat: keep 1st
+            (3, "shared para"),                       # emptied entirely
+            (4, None),
+            (5, "unique zero"),                       # dup of doc 0's 2nd line
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert len(out) == 6
+    assert out[0]["text_clean"] == "shared para\nunique zero"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["text_clean"] == "unique one" and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "twice\nunique two" and out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text_clean"] == "" and out[4]["n_lines"] == 0
+    assert out[5]["text_clean"] == "" and out[5]["n_removed"] == 1
+
+
+def test_dedup_paragraphs_window_is_keyed(spark):
+    """The only window in the plan partitions by the paragraph hash key —
+    an unpartitioned first-occurrence sort would funnel the corpus
+    through one task."""
+    from pyspider_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(i, f"line a\nline {i}") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(dedup_paragraphs(docs))
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert windows
+    for ln in windows:
+        assert "key#" in ln
+
+
+def test_url_filter_rules(spark):
+    from pyspider_spark.operators.corpus import url_filter
+
+    pages = spark.createDataFrame(
+        [
+            (0, "ftp://files.example.com/a"),
+            (1, "https://cdn.eu.badsite.com:8443/x"),   # suffix of blocklisted
+            (2, "https://badsite.com/x"),                # exact blocklisted
+            (3, "https://notbadsite.com/x"),             # NOT a dot-suffix match
+            (4, "https://ok.example.com/free-CASINO-chips"),
+            (5, "https://ok.example.com/" + "y" * 300),
+            (6, "https://en.example.org/wiki/Fine"),
+            (7, "not a url at all"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in url_filter(pages, ["badsite.com"], max_len=128).collect()
+    }
+    assert out[0]["reason"] == "scheme"
+    assert out[1]["reason"] == "domain" and out[1]["host"] == "cdn.eu.badsite.com"
+    assert out[2]["reason"] == "domain"
+    assert out[3]["reason"] is None and out[3]["kept"]
+    assert out[4]["reason"] == "pattern"
+    assert out[5]["reason"] == "length"
+    assert out[6]["kept"]
+    assert out[7]["reason"] == "scheme"
+
+
+def test_url_filter_plan_is_rowlocal(spark):
+    """No join, no exchange, no python worker: the blocklist is a literal
+    array and every rule is a codegen expression."""
+    from pyspider_spark.operators.corpus import url_filter
+
+    pages = spark.createDataFrame(
+        [(i, f"https://h{i}.example.com/{i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    plan = _plan(url_filter(pages, ["badsite.com"]))
+    for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan

@@ -153,3 +153,104 @@ def test_checkpoint_resume_identical(spark, corpus, tmp_path_factory):
     # metrics/lineage rows exist for every committed round
     metrics = store.read_log("metrics")
     assert metrics.select("round_no").distinct().count() == full.rounds
+
+
+@pytest.mark.parametrize("flt", ["stored-bloom", "stored-cuckoo"])
+def test_stored_filter_path_equals_exact_path(spark, corpus, flt, tmp_path_factory):
+    """The parquet-resident URL-seen filter (10^10 posture: driver holds
+    only a path) drives a full crawl to the same frontier as exact-only
+    routing."""
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS)
+    robots = synth_robots(spark, hosts=HOSTS)
+    exact = crawl(spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15)
+    stored = crawl(
+        spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15,
+        use_bloom=True, bloom_expected=4096, urlseen_filter=flt,
+        urlseen_path=str(tmp_path_factory.mktemp("flt_eq")),
+    )
+    assert exact.rounds == stored.rounds
+    assert snapshot(exact.frontier) == snapshot(stored.frontier)
+
+
+def test_stored_filter_resume_catches_up_by_tag(spark, corpus, tmp_path_factory):
+    """Resume with a stored filter reopens the committed parquet version
+    and adds ONLY the rounds past its through_round tag — never a full
+    rebuild — then lands on the uninterrupted run's frontier."""
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    seeds = synth_seeds(spark, total=TOTAL, hosts=HOSTS, n_seeds=SEEDS)
+    robots = synth_robots(spark, hosts=HOSTS)
+    full = crawl(
+        spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=15,
+        use_bloom=True, bloom_expected=4096,
+    )
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("ckpt_sf")), spark)
+    fpath = str(tmp_path_factory.mktemp("flt_sf"))
+    crawl(  # killed at round 3
+        spark, seeds, corpus, mk_cfg(), robots=robots, max_rounds=3, store=store,
+        use_bloom=True, bloom_expected=4096, urlseen_filter="stored-bloom",
+        urlseen_path=fpath,
+    )
+    # the on-disk filter is tagged consistent through the last snapshot
+    reopened = StoredFilter(spark, fpath, kind="bloom", n_shards=16,
+                            expected_per_shard=max(1024, 4096 // 16))
+    assert reopened.tag == {"through_round": 2}
+
+    # catch-up must be the tag delta, not a full-frontier rebuild: count
+    # adds by row volume through the filter's add_df
+    added = []
+    orig_add = StoredFilter.add_df
+
+    def counting_add(self, df, taskid_col="taskid", peak_acc=None, tag=None):
+        added.append(df.count())
+        return orig_add(self, df, taskid_col=taskid_col, peak_acc=peak_acc, tag=tag)
+
+    StoredFilter.add_df = counting_add
+    try:
+        resumed = resume(
+            spark, store, corpus, mk_cfg(), robots=robots, max_rounds=15,
+            use_bloom=True, bloom_expected=4096, urlseen_filter="stored-bloom",
+            urlseen_path=fpath,
+        )
+    finally:
+        StoredFilter.add_df = orig_add
+    # tag says through round 2 and the manifest is at round 2 -> through ==
+    # last -> NO catch-up pass at all: every recorded add is one resumed
+    # round's delta (a full rebuild would show an extra, frontier-sized add)
+    assert added, "resume ran no rounds?"
+    # CrawlReport.rounds is the TOTAL round counter (incl. the 3 killed-run
+    # rounds); the resumed loop itself ran rounds - 3 of them
+    assert len(added) == resumed.rounds - 3
+    frontier_size = full.frontier.count()
+    assert all(a < frontier_size for a in added)
+    assert snapshot(full.frontier) == snapshot(resumed.frontier)
+
+
+def test_stored_filter_param_mismatch_refuses(spark, tmp_path):
+    """Reopening a stored filter with different sizing would mis-address
+    every probe — must raise, not corrupt."""
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    path = str(tmp_path / "flt")
+    sf = StoredFilter(spark, path, kind="bloom", n_shards=8, expected_per_shard=1000)
+    sf.add_df(spark.range(5).selectExpr("md5(cast(id as string)) AS taskid"))
+    with pytest.raises(ValueError, match="params"):
+        StoredFilter(spark, path, kind="bloom", n_shards=16, expected_per_shard=1000)
+
+
+def test_stored_filter_delete_clears_tag(spark, tmp_path):
+    """delete_df must clear the through_round tag: post-delete state is
+    not a superset of earlier snapshots, so resume may not trust it."""
+    from pyspider_spark.operators.urlseen import StoredFilter
+
+    ids = spark.range(50).selectExpr("md5(cast(id as string)) AS taskid")
+    sf = StoredFilter(spark, str(tmp_path / "flt"), kind="cuckoo",
+                      n_shards=8, expected_per_shard=1000)
+    sf.add_df(ids, tag={"through_round": 4})
+    assert sf.tag == {"through_round": 4}
+    sf.delete_df(ids.limit(10))
+    assert sf.tag is None
+    reopened = StoredFilter(spark, str(tmp_path / "flt"), kind="cuckoo",
+                            n_shards=8, expected_per_shard=1000)
+    assert reopened.tag is None

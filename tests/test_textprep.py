@@ -10,7 +10,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspider_spark.operators.textprep import (
-    SAMPLE_MOD,
     repetition_filter,
     repetition_stats,
     scrub_pii,
@@ -149,3 +148,25 @@ def test_tfidf_topk_planted(spark):
     # min_df prunes singleton terms
     pruned = tfidf_topk(docs, k=3, min_df=2)
     assert pruned.where(F.col("term") == "cherry").count() == 0
+
+
+def test_tfidf_doc_freq_is_broadcast(spark):
+    """The vocabulary-sized df table must come back as a broadcast join —
+    a shuffle join on the term key would re-exchange the full term-count
+    table a second time."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = tfidf_topk(docs, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_no_whole_doc_window(spark):
+    """top_2gram uses grouped max, never a window over exploded gram rows
+    (a per-doc sort of every 2-gram would be the 100-TB anti-pattern)."""
+    docs = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string"
+    )
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
