@@ -258,6 +258,9 @@ def bench_crawl(spark, total: int) -> dict:
         "refetch_rate": round(1.0 - seen / max(report.selected_total, 1), 4)
         if report.selected_total > seen else 0.0,
         "convergence": round(seen / max(n_docs, 1), 4),
+        # cumulative fixed-cost decomposition across rounds (§3c): py4j/
+        # Catalyst DAG build, stats collect, checkpoint, URL-seen add
+        "timings": report.timings,
     }
 
 

@@ -45,6 +45,12 @@ class CrawlReport:
     results_total: int
     frontier: DataFrame
     results: DataFrame | None
+    # cumulative per-phase wall seconds across all rounds: build (py4j/
+    # Catalyst DAG construction), stats (the single per-round collect),
+    # ckpt (frontier lineage truncation), filter (URL-seen add), store
+    # (log appends + manifest commit) — the §3c fixed-cost decomposition,
+    # measured on every crawl instead of ad-hoc instrumentation
+    timings: dict[str, float] | None = None
 
 
 def _config_itags(config: RoundConfig) -> dict[str, str] | None:
@@ -307,6 +313,9 @@ def _loop(
     # with events on, an idle queue must keep ticking until the on_finished
     # wait counter (FAIL_PAUSE_NUM rounds) matures — scheduler.py:541-561
     max_idle = 12 if config.events else 0
+    import time as _time
+
+    timings = {"build": 0.0, "stats": 0.0, "ckpt": 0.0, "filter": 0.0, "store": 0.0}
 
     for _ in range(max_rounds):
         if project_updates and state.round_no in project_updates:
@@ -360,6 +369,9 @@ def _loop(
         pending_syn = None
         n_selected = sum(out.selected_counts.values())
         selected_total += n_selected
+        for k, v in out.timing.items():
+            timings[k] += v
+        _t_ck = _time.perf_counter()
 
         # truncate frontier lineage each round: the round DAG references the
         # previous frontier several times (merge lhs, route old-side), so an
@@ -373,6 +385,8 @@ def _loop(
         else:
             new_frontier = out.state.frontier.localCheckpoint(eager=True, storageLevel=CKPT_LEVEL)
         out.state.frontier = new_frontier
+        timings["ckpt"] += _time.perf_counter() - _t_ck
+        _t_fl = _time.perf_counter()
         if bloom is not None:
             # fold this round's (possibly) new taskids into the URL-seen set;
             # re-adding known ids is a no-op, so the whole round delta is
@@ -383,6 +397,7 @@ def _loop(
                 new_frontier.where(new_frontier.round_no == out.state.round_no - 1),
                 through_round=out.state.round_no - 1,
             )
+        timings["filter"] += _time.perf_counter() - _t_fl
         if out.state.postponed is not None:
             # the count came free with the round's stats job; transfer is
             # capped — large sets stay distributed (bound_postponed)
@@ -404,6 +419,7 @@ def _loop(
             round_results = out.results if store is not None else None
 
         if store is not None:
+            _t_st = _time.perf_counter()
             store.append(round_results, "results", round_no=out.state.round_no - 1)
             store.append(
                 round_metrics(
@@ -413,6 +429,7 @@ def _loop(
                 round_no=out.state.round_no - 1,
             )
             store.commit_round(out.state.round_no - 1, state.budget.to_dict())
+            timings["store"] += _time.perf_counter() - _t_st
 
         if config.pause_fsm:
             # F18 feed: per-project newest-100 outcomes + counts came back
@@ -484,4 +501,5 @@ def _loop(
         results_total=results_total,
         frontier=state.frontier,
         results=all_results,
+        timings={k: round(v, 2) for k, v in timings.items()},
     )

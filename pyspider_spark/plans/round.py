@@ -20,6 +20,7 @@ broadcasts (wave-sized); everything else is wave-sized.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -120,6 +121,10 @@ class RoundOutput:
     # pause_fsm mode: {project: (total outcomes, newest-100 in newest-first
     # order)} from the round's single stats job — the F18 feed
     fsm_outcomes: dict[str, tuple[int, list[bool]]] | None = None
+    # per-phase wall seconds: 'build' = python/py4j DAG construction,
+    # 'stats' = the round's single collect job (fixed-cost diagnostics —
+    # BENCH/BASELINE.md §3c decomposition, now measured on every run)
+    timing: dict[str, float] = field(default_factory=dict)
 
     def unpersist(self) -> None:
         self.wave.unpersist()
@@ -178,6 +183,7 @@ def run_round(
 ) -> RoundOutput:
     round_no = state.round_no
     now = config.clock(round_no)
+    _t_start = time.perf_counter()
 
     # F3/F4: release time-queue arrivals + expired leases
     f = release_ready(state.frontier, now)
@@ -345,6 +351,12 @@ def run_round(
         updates, inserts, postponed = route_candidates(
             f2, merged_cands, now, round_no, split=True, with_qdelta=True,
         )
+    # persist the wave-sized route outputs: both the stats job and the
+    # frontier checkpoint consume them — without the cache the checkpoint
+    # re-runs the route joins the stats job just computed
+    updates = updates.persist()
+    inserts = inserts.persist()
+    postponed = postponed.persist()
     # no frontier-wide shuffle anywhere in the round: `updates` keys all
     # exist (wave-scale ⇒ broadcast left-merge), `inserts` are guaranteed
     # new (plain union) — the Iceberg analogue is MERGE matched-only +
@@ -361,35 +373,40 @@ def run_round(
     # no per-metric jobs (VERDICT r01: per-round barrier tax)
     from pyspider_spark.types import FAILED, SUCCESS
 
-    def _tag(df: DataFrame, tag: str, sum_col: str | None = None) -> DataFrame:
-        agg = (
-            df.groupBy("project").agg(F.count("*").cast("long").alias("n"))
-            if sum_col is None
-            else df.groupBy("project").agg(F.sum(sum_col).cast("long").alias("n"))
-        )
-        return agg.select(
-            F.lit(tag).alias("tag"), "project", "n",
-            F.lit(None).cast("array<boolean>").alias("outcomes"),
-        )
+    # each branch contributes THIN (tag, project, w) rows; ONE groupBy
+    # aggregates them all — a single exchange of pre-combined partials
+    # instead of seven per-branch shuffles (the per-round stats job is a
+    # measured fixed cost, BENCH/BASELINE.md §3c; fewer stages also means
+    # less Catalyst analysis in the round's DAG build)
+    def _thin(df: DataFrame, tag: str, sum_col: str | None = None) -> DataFrame:
+        w = F.lit(1).cast("long") if sum_col is None else F.col(sum_col).cast("long")
+        return df.select(F.lit(tag).alias("tag"), F.col("project"), w.alias("w"))
 
-    stats_parts = [
-        _tag(wave, "selected"),
-        _tag(outcome_rows.where(F.col("status").isin(SUCCESS, FAILED)), "done"),
-        _tag(inserts, "inserted"),
-        _tag(updates, "updated"),
-        _tag(updates, "upd_delta", "_q_delta"),
-        _tag(postponed, "postponed"),
-        _tag(results, "results"),
+    thin_parts = [
+        _thin(wave, "selected"),
+        _thin(outcome_rows.where(F.col("status").isin(SUCCESS, FAILED)), "done"),
+        _thin(inserts, "inserted"),
+        _thin(updates, "updated"),
+        _thin(updates, "upd_delta", "_q_delta"),
+        _thin(postponed, "postponed"),
+        _thin(results, "results"),
     ]
     if config.events:
-        stats_parts.append(_tag(wave.where(F.col("taskid") == "on_finished"), "fin_picks"))
+        thin_parts.append(_thin(wave.where(F.col("taskid") == "on_finished"), "fin_picks"))
+    thin = thin_parts[0]
+    for part in thin_parts[1:]:
+        thin = thin.unionByName(part)
+    stats_df = (
+        thin.groupBy("tag", "project")
+        .agg(F.sum("w").cast("long").alias("n"))
+        .select("tag", "project", "n",
+                F.lit(None).cast("array<boolean>").alias("outcomes"))
+    )
     if config.pause_fsm:
-        stats_parts.append(fsm_outcome_feed(processed))
-    stats_df = stats_parts[0]
-    for part in stats_parts[1:]:
-        stats_df = stats_df.unionByName(part)
+        stats_df = stats_df.unionByName(fsm_outcome_feed(processed))
     stats: dict[str, dict[str, int]] = {}
     fsm_outcomes: dict[str, tuple[int, list[bool]]] = {}
+    _t_built = time.perf_counter()
     for r in stats_df.collect():
         if r["tag"] == "fsm":
             fsm_outcomes[r["project"]] = (int(r["n"]), list(r["outcomes"] or []))
@@ -429,11 +446,18 @@ def run_round(
     )
     return RoundOutput(
         new_state, wave, processed, results, selected_counts, metrics,
-        cached=(merged_cands,),
+        # unpersisted once the round commits; postponed is safe to drop
+        # there because _loop eagerly materializes the replay set
+        # (bound_postponed) before out.unpersist()
+        cached=(merged_cands, updates, inserts, postponed),
         results_count=sum(stats.get("results", {}).values()),
         postponed_count=sum(stats.get("postponed", {}).values()),
         routed_count=sum(stats.get("inserted", {}).values())
         + sum(stats.get("updated", {}).values()),
         fin_picks=stats.get("fin_picks") if config.events else None,
         fsm_outcomes=fsm_outcomes if config.pause_fsm else None,
+        timing={
+            "build": round(_t_built - _t_start, 3),
+            "stats": round(time.perf_counter() - _t_built, 3),
+        },
     )
