@@ -672,6 +672,42 @@ _URL_EXPR_SQL = (
 )
 
 
+# a 14-token sentence planted at the head of every 5th document so the
+# span-dedup query has genuinely cross-document duplicated 10-grams (the
+# natural corpus texts also contain exact-duplicate docs, which share ALL
+# their spans) — the oracle SQL plants it identically
+_SPAN_PLANT = (
+    "shared disclaimer all rights reserved contact the site"
+    " administrator for removal requests today"
+)
+
+
+def q_span_dedup(spark, sf):
+    """Exact duplicated-span detection (Lee et al. 2021 shape at fixed
+    span length): per-doc count of distinct 10-token spans occurring in
+    >= 2 documents. Corpus x corpus — the dup-span set flows through a
+    shuffle hash join on 8-byte keys, never a broadcast."""
+    from pyspider_spark.operators.corpus import span_dedup
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_PLANT + " "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    return span_dedup(docs, n=10, min_docs=2)
+
+
+def q_unigram_logprob(spark, sf):
+    """Corpus-unigram LM quality score in exact integer micro-nats
+    (quantize-before-sum makes the value partitioning-invariant, so the
+    hash gate compares exactly)."""
+    from pyspider_spark.operators.textprep import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -869,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mix": q_rebalance,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_filter": q_url_filter,
+        "span_dedup": q_span_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -950,6 +988,15 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": oracles.url_filter_sql(
             _URL_BLOCKLIST, max_len=_URL_MAXLEN, url_expr=_URL_EXPR_SQL
         ),
+        "span_dedup": oracles.span_dedup_sql(
+            n=10, min_docs=2,
+            table=(
+                "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+                f"'{_SPAN_PLANT} ' || COALESCE(text, '') "
+                "ELSE COALESCE(text, '') END AS text FROM documents)"
+            ),
+        ),
+        "unigram_logprob": oracles.unigram_logprob_sql(),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

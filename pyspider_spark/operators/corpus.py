@@ -428,3 +428,65 @@ def url_filter(
         host.alias("host"),
         reason.alias("reason"),
     ).withColumn("kept", F.col("reason").isNull())
+
+
+# --- cross-document duplicated-span detection ----------------------------------
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_spans, dup_spans): for every document, how many of its
+    DISTINCT ``n``-token spans also occur in at least ``min_docs - 1``
+    OTHER documents — the detection half of exact-substring training-data
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"; public), at fixed span length instead of a suffix
+    array. Downstream policy (drop the doc, cut the span) is the
+    caller's; integer counts keep the oracle comparison exact.
+
+    Scale shape — this is corpus x corpus, so NOTHING here broadcasts:
+    spans reduce row-local to 56-bit hashes (the same shuffle-free
+    transform(sequence) shingling as dedup_minhash), the span
+    doc-frequency is ONE map-side-combined groupBy over thin (doc, gh)
+    longs, and the duplicated-span set — which at 100 TB is itself
+    corpus-scale — flows back through a plain shuffle hash join on the
+    8-byte key, never a broadcast. The per-doc hit count is the only
+    doc-keyed exchange. Hot spans (the same boilerplate sentence in
+    millions of docs) skew the gram groupBy's reduce side; map-side
+    partial aggregation absorbs them (each input partition emits one
+    partial row per gram).
+    """
+    per_doc = docs.select(
+        F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("w")
+    ).select(
+        "doc",
+        F.array_distinct(
+            F.transform(_word_ngrams("w", n), lambda g: md5_hash56(g))
+        ).alias("ghs"),
+    )
+    # rows are distinct per (doc, gh) by construction, so count(*) IS the
+    # span's document frequency. `thin` is referenced twice — the shingle
+    # recompute is cheaper than persisting corpus-scale state.
+    thin = per_doc.select("doc", F.explode("ghs").alias("gh"))
+    dup = (
+        thin.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("gh")
+    )
+    hits = thin.join(dup, "gh").groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("_dup")
+    )
+    return (
+        per_doc.select("doc", F.size("ghs").cast("long").alias("n_spans"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("dup_spans"),
+        )
+    )

@@ -246,3 +246,67 @@ def tfidf_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# --- corpus-unigram LM scoring -------------------------------------------------
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, lp_micro_sum, avg_lp_micro): each document's
+    log-likelihood under the corpus's own unigram language model — the
+    in-container analogue of CCNet/RefinedWeb LM-perplexity quality
+    filtering (lower avg logprob = more surprising = more likely junk
+    OR more likely novel; callers threshold both tails).
+
+    Per-token score = floor(ln(count(tok)/total_tokens) * 1e6) as a
+    64-bit integer ("micro-nats"): quantizing BEFORE the per-doc sum
+    makes the sum exact integer arithmetic, so the result is invariant
+    to partitioning / accumulation order — a float avg(ln(p)) would
+    differ between engines in the last ulps and flap the value-hash
+    gate. avg_lp_micro = floor(lp_micro_sum / n_tokens) likewise.
+
+    Scale shape: the frequency table is ONE map-side-combined groupBy
+    over exploded tokens (vocabulary-sized output); total_tokens is a
+    1-row aggregate over THAT table (O(vocab), not O(corpus)) and
+    broadcasts. The score join is corpus-thin-rows x vocab on the token
+    key — at 100 TB the vocab can exceed broadcast size, so this stays
+    a shuffle hash join; Zipf-hot tokens skew its probe side, which AQE
+    skew-join splitting handles (the build side is per-key tiny).
+    Docs with zero tokens surface with 0 scores (never NULL — keeps the
+    column int64 end to end).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_words(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    q = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("total")) * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        toks.join(freq, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(q).cast("long").alias("lp_micro_sum"),
+        )
+        .withColumn(
+            "avg_lp_micro",
+            F.floor(
+                F.col("lp_micro_sum").cast("double") / F.col("n_tokens").cast("double")
+            ).cast("long"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("lp_micro_sum"), F.lit(0)).cast("long").alias("lp_micro_sum"),
+            F.coalesce(F.col("avg_lp_micro"), F.lit(0)).cast("long").alias("avg_lp_micro"),
+        )
+    )

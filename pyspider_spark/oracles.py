@@ -1050,3 +1050,77 @@ def url_filter_sql(blocked_domains: list[str],
         )
         SELECT {id_col}, url, host, reason, reason IS NULL AS kept FROM rr
     """
+
+
+def span_dedup_sql(n: int = 10, min_docs: int = 2, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirror of operators.corpus.span_dedup: distinct n-token span
+    hashes per doc, span doc-frequency, per-doc duplicated-span count.
+    Hashing (56-bit md5 slice) and distinct-on-hash order match the
+    Spark plan exactly."""
+    gh = md5_hash56_sql("gram")
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        g AS (
+            SELECT {id_col}, list_distinct(
+                CASE WHEN len(w) >= {int(n)} THEN
+                    [{gh} for gram in
+                     [array_to_string(w[p:p+{int(n) - 1}], ' ')
+                      for p in generate_series(1, len(w) - {int(n) - 1})]]
+                ELSE [] END) AS ghs
+            FROM w
+        ),
+        thin AS (SELECT {id_col}, unnest(ghs) AS gh FROM g),
+        dup AS (
+            SELECT gh FROM thin GROUP BY gh
+            HAVING COUNT(*) >= {int(min_docs)}
+        ),
+        hits AS (
+            SELECT {id_col}, COUNT(*) AS dup_spans
+            FROM thin JOIN dup USING (gh) GROUP BY {id_col}
+        )
+        SELECT g.{id_col},
+               CAST(len(ghs) AS BIGINT) AS n_spans,
+               CAST(COALESCE(hits.dup_spans, 0) AS BIGINT) AS dup_spans
+        FROM g LEFT JOIN hits USING ({id_col})
+    """
+
+
+def unigram_logprob_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """Mirror of operators.textprep.unigram_logprob. The per-token score
+    quantizes to integer micro-nats BEFORE the per-doc sum, so both
+    engines do exact integer arithmetic and the value-hash comparison
+    never depends on float accumulation order."""
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        t AS (SELECT {id_col}, unnest(w) AS tok FROM w),
+        f AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM f),
+        s AS (
+            SELECT {id_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(FLOOR(
+                       ln(CAST(cnt AS DOUBLE) / total) * 1e6
+                   ) AS BIGINT)) AS BIGINT) AS lp_micro_sum
+            FROM t JOIN f USING (tok) CROSS JOIN tot
+            GROUP BY {id_col}
+        )
+        SELECT w.{id_col},
+               CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.lp_micro_sum, 0) AS BIGINT) AS lp_micro_sum,
+               CAST(COALESCE(FLOOR(CAST(s.lp_micro_sum AS DOUBLE)
+                                   / CAST(s.n_tokens AS DOUBLE)), 0) AS BIGINT)
+                   AS avg_lp_micro
+        FROM w LEFT JOIN s USING ({id_col})
+    """

@@ -259,3 +259,61 @@ def test_url_filter_plan_is_rowlocal(spark):
     plan = _plan(url_filter(pages, ["badsite.com"]))
     for op in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in plan
+
+
+# --- span_dedup ----------------------------------------------------------------
+
+
+def test_span_dedup_planted(spark):
+    plant = "a b c d e f g h i j k l"  # 12 tokens -> 3 shared 10-grams
+    rows = [
+        (0, plant + " unique zero tail words here"),
+        (1, plant + " different one ending entirely"),
+        (2, "nothing shared with anyone else in this document at all ok"),
+        (3, None),
+    ]
+    from pyspider_spark.operators.corpus import span_dedup
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, n=10, min_docs=2).collect()}
+    # docs 0/1 share exactly the 3 grams fully inside the planted prefix
+    # (grams crossing into the doc-specific tail differ)
+    assert out[0]["dup_spans"] == 3 and out[1]["dup_spans"] == 3
+    assert out[0]["n_spans"] == 8  # 17 tokens -> 8 distinct 10-grams
+    assert out[2]["dup_spans"] == 0 and out[2]["n_spans"] == 2
+    assert out[3]["n_spans"] == 0 and out[3]["dup_spans"] == 0
+
+
+def test_span_dedup_exact_duplicate_docs_share_all_spans(spark):
+    from pyspider_spark.operators.corpus import span_dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    out = span_dedup(docs, n=10, min_docs=2).collect()
+    assert all(r["dup_spans"] == r["n_spans"] > 0 for r in out)
+
+
+def test_span_dedup_survives_no_broadcast(spark):
+    """Corpus x corpus: span_dedup must not DEPEND on broadcasting the
+    dup-span set (at 100 TB it is itself corpus-scale). With broadcast
+    disabled entirely the plan still runs as a shuffle join and yields
+    identical results — i.e. no F.broadcast hint is baked in; Catalyst
+    is free to broadcast when stats say small, shuffle when not."""
+    from pyspider_spark.operators.corpus import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "common shared prefix sentence tokens here now ok fine yes plus w%d" % (i % 2))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, span_dedup(docs, n=10, min_docs=2).collect()))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = span_dedup(docs, n=10, min_docs=2)
+        assert "BroadcastHashJoin" not in _plan(out)
+        assert sorted(map(tuple, out.collect())) == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

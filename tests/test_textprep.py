@@ -170,3 +170,41 @@ def test_repetition_stats_no_whole_doc_window(spark):
     )
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# --- unigram LM scoring ----------------------------------------------------
+
+
+def test_unigram_logprob_exact_micro_nats(spark):
+    """Hand-checked corpus: 6 tokens total, 'a' x3, 'b' x2, 'c' x1 —
+    per-token micro-nats are floor(ln(cnt/6) * 1e6) and the per-doc sum
+    is exact integer arithmetic."""
+    import math
+
+    from pyspider_spark.operators.textprep import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    q = {t: math.floor(math.log(c / 6.0) * 1e6) for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    assert out[0]["lp_micro_sum"] == 2 * q["a"] + q["b"]
+    assert out[1]["lp_micro_sum"] == q["a"] + q["b"] + q["c"]
+    assert out[1]["avg_lp_micro"] == math.floor((q["a"] + q["b"] + q["c"]) / 3.0)
+    assert out[0]["n_tokens"] == 3
+    # empty doc surfaces with 0 scores, zero tokens (never NULL)
+    assert out[2]["n_tokens"] == 0 and out[2]["lp_micro_sum"] == 0
+    assert out[2]["avg_lp_micro"] == 0
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    """The quantize-before-sum contract: identical output at 1 and many
+    partitions (a float avg would drift in the last ulps)."""
+    from pyspider_spark.operators.textprep import unigram_logprob
+
+    rows = [(i, ("tok%d " % (i % 7)) * (i % 5 + 1) + "shared filler words")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, unigram_logprob(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, unigram_logprob(docs.repartition(16)).collect()))
+    assert a == b
