@@ -335,6 +335,20 @@ class ShardedBloom:
         for r in state.collect():
             self.bitmaps[int(r["shard"])] |= np.frombuffer(r["table"], dtype=np.uint8)
 
+    def add_ids(self, ids) -> None:
+        """Driver-side fold of an already-collected id batch through the
+        SAME set-bits kernel — the small-round fast path (a per-round
+        shuffle job costs seconds of fixed time; a few-thousand-row crawl
+        delta folds in microseconds). Large deltas stay on add_df's
+        shard-shuffled distributed shape."""
+        if len(ids) == 0:
+            return
+        h1, h2 = _hashes(pd.Series(ids, dtype=object).fillna(""))
+        shard = self._shard_of(h1)
+        for s in np.unique(shard):
+            sel = shard == s
+            _set_bits(self.bitmaps[s], h1[sel], h2[sel], self.k, self.m)
+
     def might_contain_udf(self, spark):
         """Vectorized probe: broadcast the bitmaps once, test k bits per
         taskid in numpy. Returns a pandas UDF usable as a Column fn."""
@@ -573,6 +587,20 @@ class ShardedCuckoo:
 
     def add_df(self, df: DataFrame, taskid_col: str = "taskid", peak_acc=None) -> None:
         self._apply_df(df, "add", taskid_col, peak_acc=peak_acc)
+
+    def add_ids(self, ids) -> None:
+        """Driver-side fold of an already-collected id batch through the
+        SAME insert kernel (small-round fast path; see ShardedBloom.add_ids).
+        Table layout can differ from a distributed build of the same keys
+        (insertion order drives cuckoo eviction), but membership — the
+        only contract — is identical."""
+        if len(ids) == 0:
+            return
+        shard, fp, i1 = _cuckoo_keys(pd.Series(ids, dtype=object).fillna(""),
+                                     self.n_shards, self.nb)
+        for s in np.unique(shard):
+            sel = shard == s
+            _insert_shard(self.tables[s], self.stashes[s], fp[sel], i1[sel], self.nb)
 
     def delete_df(self, df: DataFrame, taskid_col: str = "taskid", peak_acc=None) -> None:
         """Unlearn taskids (project delete — scheduler.py:630-647). After

@@ -169,14 +169,30 @@ def _make_urlseen(spark, urlseen_filter: str, bloom_expected: int,
     )
 
 
+# above this many delta rows the URL-seen fold stays on the distributed
+# shard-shuffled build; below it the ids collect (<~10 MB) and fold
+# driver-side through the same kernels — a per-round shuffle job is
+# seconds of fixed cost that dwarfs a small round's actual work
+SMALL_DELTA_IDS = 100_000
+
+
 def _filter_add(bloom, df: DataFrame, through_round: int | None,
-                taskid_col: str = "taskid") -> None:
+                taskid_col: str = "taskid", n_rows: int | None = None) -> None:
     """add_df, stamping persistent filters with the round their state is
     consistent through (driver-held filters take no tag — they are
-    rebuilt on resume anyway)."""
+    rebuilt on resume anyway). When the caller knows the delta is small
+    (``n_rows``, free from the round's stats job) and the filter is
+    driver-held, the ids fold driver-side instead of through a shuffle
+    job."""
     if getattr(bloom, "persistent", False):
         tag = None if through_round is None else {"through_round": int(through_round)}
         bloom.add_df(df, taskid_col=taskid_col, tag=tag)
+    elif (
+        n_rows is not None
+        and n_rows <= SMALL_DELTA_IDS
+        and hasattr(bloom, "add_ids")
+    ):
+        bloom.add_ids([r[0] for r in df.select(taskid_col).collect()])
     else:
         bloom.add_df(df, taskid_col=taskid_col)
 
@@ -396,6 +412,10 @@ def _loop(
                 bloom,
                 new_frontier.where(new_frontier.round_no == out.state.round_no - 1),
                 through_round=out.state.round_no - 1,
+                # delta rows = this round's inserts + updates, already
+                # counted by the stats job — picks the driver-side
+                # small-batch fold when the round is small
+                n_rows=out.routed_count,
             )
         timings["filter"] += _time.perf_counter() - _t_fl
         if out.state.postponed is not None:

@@ -474,3 +474,72 @@ def test_bloom_m_not_multiple_of_8_does_not_crash(spark):
     sf = StoredFilter(spark, "/tmp/_unused_sizing_probe", kind="bloom",
                       n_shards=2, expected_per_shard=1001)
     assert sf.params["m"] % 8 == 0
+
+
+def test_add_ids_driver_fold_matches_add_df_membership(spark):
+    """The small-round fast path: add_ids (driver-side fold of collected
+    ids) must give identical bloom membership to add_df (distributed
+    shard build) — same kernels, same hashes. Cuckoo table LAYOUT may
+    differ (insertion order drives eviction) but membership must not."""
+    from pyspider_spark.operators.urlseen import ShardedBloom, ShardedCuckoo
+
+    keys = spark.range(0, 4000).select(
+        F.md5(F.concat(F.lit("fast/"), F.col("id").cast("string"))).alias("taskid")
+    )
+    ids = [r[0] for r in keys.collect()]
+    other = spark.range(0, 4000).select(
+        F.md5(F.concat(F.lit("other/"), F.col("id").cast("string"))).alias("taskid")
+    )
+
+    b1 = ShardedBloom(n_shards=8, bits_per_key=12, expected_per_shard=2000)
+    b1.add_df(keys)
+    b2 = ShardedBloom(n_shards=8, bits_per_key=12, expected_per_shard=2000)
+    b2.add_ids(ids)
+    # bit-identical bitmaps: same hashes through the same set-bits kernel
+    import numpy as np
+
+    assert np.array_equal(b1.bitmaps, b2.bitmaps)
+
+    c = ShardedCuckoo(n_shards=8, expected_per_shard=2000)
+    c.add_ids(ids)
+    probe = c.might_contain_udf(spark)
+    assert keys.where(~probe(F.col("taskid"))).count() == 0  # no false negatives
+    fp = other.where(probe(F.col("taskid"))).count()
+    assert fp < 40  # fp rate stays bounded (16-bit fingerprints)
+
+
+def test_crawl_small_round_uses_driver_fold(spark, monkeypatch):
+    """In bloom mode a small crawl round must fold its delta driver-side
+    (no per-round distributed filter job): add_df is never called after
+    bootstrap when every round's routed count is under the threshold."""
+    from pyspider_spark.operators import urlseen as um
+    from pyspider_spark.plans.crawl import crawl
+    from pyspider_spark.plans.round import RoundConfig
+    from pyspider_spark.synth import synth_documents, synth_seeds
+
+    calls = {"add_df": 0, "add_ids": 0}
+    orig_df, orig_ids = um.ShardedBloom.add_df, um.ShardedBloom.add_ids
+
+    def spy_df(self, *a, **kw):
+        calls["add_df"] += 1
+        return orig_df(self, *a, **kw)
+
+    def spy_ids(self, *a, **kw):
+        calls["add_ids"] += 1
+        return orig_ids(self, *a, **kw)
+
+    monkeypatch.setattr(um.ShardedBloom, "add_df", spy_df)
+    monkeypatch.setattr(um.ShardedBloom, "add_ids", spy_ids)
+
+    docs = synth_documents(spark, total=60, show=5, hosts=2).cache()
+    docs.count()
+    seeds = synth_seeds(spark, total=60, hosts=2, n_seeds=3)
+    cfg = RoundConfig(projects={"bench": {"rate": 1e9, "burst": 1e9}}, loop_limit=10000)
+    report = crawl(spark, seeds, docs, cfg, robots=None, max_rounds=10,
+                   collect_results=False, use_bloom=True)
+    docs.unpersist()
+    assert report.rounds >= 2
+    assert calls["add_ids"] >= report.rounds - 1, calls
+    # the only distributed build allowed is the bootstrap full-frontier
+    # fold (which takes the id-count-free path)
+    assert calls["add_df"] <= 1, calls
