@@ -340,7 +340,12 @@ def embedding_near_dup_pairs(
     defaults give ~0.95 recall at c = 0.95 (vs ~0.04 for the round-1
     full-signature bucket at c = 0.8)."""
     vec = F.col(vec_col).cast("array<double>")
-    base = embeddings.select(F.col(id_col).alias("doc"), vec.alias("v"))
+    # per-doc norm computed ONCE here (n docs) instead of inside the pair
+    # verify (2x per candidate pair — the pair table is orders of magnitude
+    # larger); na*nb below is bit-identical to norm(va)*norm(vb)
+    base = embeddings.select(
+        F.col(id_col).alias("doc"), vec.alias("v")
+    ).withColumn("nv", norm(F.col("v")))
     bands = table_planes(dims, planes_per_band, n_bands, seed)
     band_cols = [
         F.struct(F.lit(t).alias("band"), rh_signature(F.col("v"), planes).alias("bsig"))
@@ -363,12 +368,16 @@ def embedding_near_dup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    va = base.select(F.col("doc").alias("doc_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb"))
+    va = base.select(
+        F.col("doc").alias("doc_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    vb = base.select(
+        F.col("doc").alias("doc_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
     return (
         cand.join(va, "doc_a").join(vb, "doc_b")
         .withColumn(
-            "cos_sim", dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")

@@ -316,22 +316,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     if bits > HASH_BITS:
         raise ValueError(f"bits must be <= {HASH_BITS} (md5-slice hash width)")
+    # hash each token exactly ONCE in a projection — md5 is the expensive
+    # part, and referencing it from `bits` aggregate expressions would
+    # otherwise rely on codegen CSE to avoid 56 recomputes per token
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    h = md5_hash56(F.col("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+    ).where(F.col("tok") != "").select("doc", md5_hash56(F.col("tok")).alias("h"))
+    # branch-free votes: ones_i = sum of bit i, n = token count;
+    # the +-1 vote is positive iff 2*ones_i > n (ties land negative in
+    # both formulations, so the signature is bit-identical)
+    ones = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy("doc").agg(*votes)
+    agg = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("_n"), *ones)
     sig = sum(
         (
             F.when(
-                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                F.col(f"b{i}") * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
             ).otherwise(F.lit(0).cast("long"))
             for i in range(bits)
         ),
