@@ -708,6 +708,17 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_dsir_logratio(spark, sf):
+    """DSIR-style importance weight per document for the lang='en'
+    target domain (Xie et al. 2023): per-token log-ratio of the target
+    subset's unigram model vs the raw corpus's, add-1 smoothed over the
+    raw vocabulary, quantized to integer micro-nats before the per-doc
+    sum so the hash gate compares exactly."""
+    from pyspider_spark.operators.textprep import dsir_logratio
+
+    return dsir_logratio(_t(spark, sf, "documents"))
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "span_dedup": q_span_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "dsir_logratio": q_dsir_logratio,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -997,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "unigram_logprob": oracles.unigram_logprob_sql(),
+        "dsir_logratio": oracles.dsir_logratio_sql(),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

@@ -310,3 +310,85 @@ def unigram_logprob(
             F.coalesce(F.col("avg_lp_micro"), F.lit(0)).cast("long").alias("avg_lp_micro"),
         )
     )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+) -> DataFrame:
+    """(doc_id, n_tokens, dsir_micro_sum, avg_dsir_micro): DSIR-style
+    importance weight of each document for a target domain — the
+    log-ratio of the doc's likelihood under the TARGET subset's unigram
+    model vs the RAW corpus's unigram model (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"; their
+    hashed-ngram features reduce to exactly this per-feature count
+    log-ratio). Documents that look like the target domain score high;
+    callers resample the corpus proportionally to exp(weight).
+
+    Both models are add-1 smoothed over the RAW vocabulary V, so tokens
+    absent from the target subset stay finite:
+        p_t(tok) = (cnt_t + 1) / (total_t + V)
+        p_r(tok) = (cnt_r + 1) / (total_r + V)
+    Per-token weight = floor(ln(p_t)*1e6) - floor(ln(p_r)*1e6): each
+    term quantizes to integer micro-nats BEFORE the subtraction and the
+    per-doc sum (same construction unigram_logprob proved cross-engine
+    exact), so the result is invariant to partitioning and engine float
+    accumulation order.
+
+    Scale shape (identical to unigram_logprob): both frequency tables
+    are map-side-combined groupBys with vocabulary-sized output; V and
+    the two totals are O(vocab) aggregates broadcast as a 1-row frame;
+    the weight table joins the exploded token stream on the token key —
+    a shuffle hash join at 100-TB vocab, with AQE skew-split handling
+    Zipf-hot tokens. Zero-token docs surface with 0 scores, never NULL.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        (F.col(target_col) == F.lit(target_value)).alias("is_t"),
+        F.explode(_words(F.col(text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+    )
+    consts = freq.agg(
+        F.sum("cnt_r").cast("double").alias("total_r"),
+        F.sum("cnt_t").cast("double").alias("total_t"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    lp_t = F.floor(
+        F.log((F.col("cnt_t") + 1).cast("double") / (F.col("total_t") + F.col("vocab")))
+        * F.lit(1e6)
+    ).cast("long")
+    lp_r = F.floor(
+        F.log((F.col("cnt_r") + 1).cast("double") / (F.col("total_r") + F.col("vocab")))
+        * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        toks.join(freq, "tok")
+        .join(F.broadcast(consts))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(lp_t - lp_r).cast("long").alias("dsir_micro_sum"),
+        )
+        .withColumn(
+            "avg_dsir_micro",
+            F.floor(
+                F.col("dsir_micro_sum").cast("double") / F.col("n_tokens").cast("double")
+            ).cast("long"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dsir_micro_sum"), F.lit(0)).cast("long").alias("dsir_micro_sum"),
+            F.coalesce(F.col("avg_dsir_micro"), F.lit(0)).cast("long").alias("avg_dsir_micro"),
+        )
+    )

@@ -1124,3 +1124,54 @@ def unigram_logprob_sql(table: str = "documents", id_col: str = "doc_id",
                    AS avg_lp_micro
         FROM w LEFT JOIN s USING ({id_col})
     """
+
+
+def dsir_logratio_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", target_col: str = "lang",
+                      target_value: str = "en") -> str:
+    """Mirror of operators.textprep.dsir_logratio. Each model's per-token
+    log-prob quantizes to integer micro-nats BEFORE the subtraction and
+    the per-doc sum, so both engines do exact integer arithmetic past
+    the single ln() call (the same construction unigram_logprob_sql
+    proved hash-stable across Spark and DuckDB)."""
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   {target_col} = '{target_value}' AS is_t,
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        t AS (SELECT {id_col}, is_t, unnest(w) AS tok FROM w),
+        f AS (
+            SELECT tok,
+                   COUNT(*) AS cnt_r,
+                   SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+            FROM t GROUP BY tok
+        ),
+        c AS (
+            SELECT CAST(SUM(cnt_r) AS DOUBLE) AS total_r,
+                   CAST(SUM(cnt_t) AS DOUBLE) AS total_t,
+                   CAST(COUNT(*) AS DOUBLE) AS vocab
+            FROM f
+        ),
+        s AS (
+            SELECT {id_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(
+                       CAST(FLOOR(ln(CAST(cnt_t + 1 AS DOUBLE)
+                                     / (total_t + vocab)) * 1e6) AS BIGINT)
+                     - CAST(FLOOR(ln(CAST(cnt_r + 1 AS DOUBLE)
+                                     / (total_r + vocab)) * 1e6) AS BIGINT)
+                   ) AS BIGINT) AS dsir_micro_sum
+            FROM t JOIN f USING (tok) CROSS JOIN c
+            GROUP BY {id_col}
+        )
+        SELECT w.{id_col},
+               CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.dsir_micro_sum, 0) AS BIGINT) AS dsir_micro_sum,
+               CAST(COALESCE(FLOOR(CAST(s.dsir_micro_sum AS DOUBLE)
+                                   / CAST(s.n_tokens AS DOUBLE)), 0) AS BIGINT)
+                   AS avg_dsir_micro
+        FROM w LEFT JOIN s USING ({id_col})
+    """

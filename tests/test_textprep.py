@@ -208,3 +208,53 @@ def test_unigram_logprob_partitioning_invariant(spark):
     a = sorted(map(tuple, unigram_logprob(docs.coalesce(1)).collect()))
     b = sorted(map(tuple, unigram_logprob(docs.repartition(16)).collect()))
     assert a == b
+
+
+# --- DSIR importance weighting ----------------------------------------------
+
+
+def test_dsir_logratio_exact_micro_nats(spark):
+    """Hand-checked two-domain corpus. raw: a x2, b x1, c x1 (total 4,
+    vocab 3); target (lang='en'): a x1, b x1 (total 2). Add-1 smoothing
+    over the raw vocab: p_t = (cnt_t+1)/(2+3), p_r = (cnt_r+1)/(4+3);
+    per-token weight = floor(ln(p_t)*1e6) - floor(ln(p_r)*1e6)."""
+    import math
+
+    from pyspider_spark.operators.textprep import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a b"), (1, "de", "a c"), (2, "en", None)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_logratio(docs).collect()}
+
+    def w(cnt_t, cnt_r):
+        lp_t = math.floor(math.log((cnt_t + 1) / 5.0) * 1e6)
+        lp_r = math.floor(math.log((cnt_r + 1) / 7.0) * 1e6)
+        return lp_t - lp_r
+
+    assert out[0]["dsir_micro_sum"] == w(1, 2) + w(1, 1)
+    assert out[1]["dsir_micro_sum"] == w(1, 2) + w(0, 1)
+    assert out[0]["n_tokens"] == 2
+    # token 'c' never appears in the target domain -> negative weight
+    assert w(0, 1) < 0
+    # the in-domain doc outscores the out-of-domain doc
+    assert out[0]["avg_dsir_micro"] > out[1]["avg_dsir_micro"]
+    # empty doc surfaces with 0 scores (never NULL)
+    assert out[2]["n_tokens"] == 0 and out[2]["dsir_micro_sum"] == 0
+
+
+def test_dsir_logratio_partitioning_invariant(spark):
+    """Quantize-before-sum contract, same as unigram_logprob: identical
+    output at 1 and 16 partitions."""
+    from pyspider_spark.operators.textprep import dsir_logratio
+
+    rows = [
+        (i, "en" if i % 3 else "de",
+         ("tok%d " % (i % 7)) * (i % 5 + 1) + "shared filler words")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(map(tuple, dsir_logratio(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, dsir_logratio(docs.repartition(16)).collect()))
+    assert a == b
