@@ -719,6 +719,16 @@ def q_dsir_logratio(spark, sf):
     return dsir_logratio(_t(spark, sf, "documents"))
 
 
+def q_dsir_topk_select(spark, sf):
+    """DSIR selection step: keep the 100 documents with the highest
+    per-token importance weight for the lang='en' target, ties broken by
+    doc_id — a TakeOrderedAndProject over the dsir_logratio weights (no
+    global sort)."""
+    from pyspider_spark.operators.textprep import dsir_topk_select
+
+    return dsir_topk_select(_t(spark, sf, "documents"), k=100)
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near pairs; blocking is pigeonhole-sound for max_hamming=6
     (7 chunks x 8 bits over the 56-bit signature)."""
@@ -919,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "unigram_logprob": q_unigram_logprob,
         "dsir_logratio": q_dsir_logratio,
+        "dsir_topk_select": q_dsir_topk_select,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1010,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "dsir_logratio": oracles.dsir_logratio_sql(),
+        "dsir_topk_select": oracles.dsir_topk_select_sql(k=100),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

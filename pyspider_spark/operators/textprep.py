@@ -392,3 +392,30 @@ def dsir_logratio(
             F.coalesce(F.col("avg_dsir_micro"), F.lit(0)).cast("long").alias("avg_dsir_micro"),
         )
     )
+
+
+def dsir_topk_select(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+) -> DataFrame:
+    """The SELECTION step of the DSIR pipeline: keep the k documents
+    with the highest per-token importance weight (``avg_dsir_micro``
+    from :func:`dsir_logratio`), ties broken by ``id_col`` ascending so
+    the kept set is fully deterministic on every engine and every rerun
+    (Xie et al. 2023 §3 describe this top-k heuristic as the
+    deterministic alternative to Gumbel resampling).
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject — each
+    task keeps a k-row heap over its partition and the driver merges
+    k·P candidate rows, so no global sort of the corpus ever
+    materializes. That holds for selection budgets up to ~10^6 docs; a
+    corpus-fraction budget at 100 TB should instead derive a weight
+    threshold from a quantile sketch and push it down as a plain
+    predicate (the ``stratified_sample`` pattern), trading exactness at
+    the boundary for a scan-shaped plan."""
+    w = dsir_logratio(docs, id_col, text_col, target_col, target_value)
+    return w.orderBy(F.col("avg_dsir_micro").desc(), F.col(id_col).asc()).limit(k)

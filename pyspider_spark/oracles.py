@@ -1175,3 +1175,19 @@ def dsir_logratio_sql(table: str = "documents", id_col: str = "doc_id",
                    AS avg_dsir_micro
         FROM w LEFT JOIN s USING ({id_col})
     """
+
+
+def dsir_topk_select_sql(k: int = 100, table: str = "documents",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         target_col: str = "lang",
+                         target_value: str = "en") -> str:
+    """Mirror of operators.textprep.dsir_topk_select: the dsir_logratio
+    weights, ordered by per-token weight DESC with id ASC tie-break,
+    LIMIT k. The tie-break makes the kept row SET engine-exact, which is
+    all the hash gate compares (it sorts rows itself)."""
+    inner = dsir_logratio_sql(table, id_col, text_col, target_col, target_value)
+    return f"""
+        SELECT * FROM ({inner})
+        ORDER BY avg_dsir_micro DESC, {id_col} ASC
+        LIMIT {k}
+    """

@@ -258,3 +258,30 @@ def test_dsir_logratio_partitioning_invariant(spark):
     a = sorted(map(tuple, dsir_logratio(docs.coalesce(1)).collect()))
     b = sorted(map(tuple, dsir_logratio(docs.repartition(16)).collect()))
     assert a == b
+
+
+def test_dsir_topk_select_deterministic_and_heap_shaped(spark):
+    """Top-k keeps the highest-weight docs with doc_id tie-break, and the
+    plan is TakeOrderedAndProject (per-partition heap), not a global
+    sort."""
+    from pyspider_spark.operators.textprep import dsir_logratio, dsir_topk_select
+
+    rows = [
+        (i, "en" if i % 3 else "de",
+         ("tok%d " % (i % 7)) * (i % 5 + 1) + "shared filler words")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = dsir_topk_select(docs, k=10)
+    assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
+
+    got = [(r["doc_id"], r["avg_dsir_micro"]) for r in out.collect()]
+    all_w = {r["doc_id"]: r["avg_dsir_micro"] for r in dsir_logratio(docs).collect()}
+    want = sorted(all_w.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == want
+    # the kept set is k in-domain-looking docs: every kept weight >= every
+    # dropped weight
+    kept = {d for d, _ in got}
+    assert min(all_w[d] for d in kept) >= max(
+        w for d, w in all_w.items() if d not in kept
+    )
