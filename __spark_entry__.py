@@ -832,6 +832,31 @@ def q_embedding_near_dup(spark, sf):
     return pairs.select("doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup semantic dedup: TRAINED spherical-k-means clusters bound
+    the pairwise cosine search; within each cluster the lowest-id member
+    of every >= 0.8-cosine group survives. Same planted near-copies as
+    embedding_near_dup guarantee non-vacuous drops; oracled end-to-end
+    (DuckDB re-trains the identical centroids from the same parquet
+    sample)."""
+    from pyspider_spark.functions.similarity import semdedup_keep
+
+    _literal_oracle_guard(sf)
+    base = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    planted = base.where(F.col("vec_id") % PLANT_EVERY == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.5)),
+            F.slice(v, 2, F.size(v) - 1),
+        ).alias("embedding"),
+    )
+    aug = base.select("vec_id", v.alias("embedding")).unionByName(planted)
+    return semdedup_keep(
+        aug, dims=64, threshold=0.8, centroids=_ivf_trained_centroids(sf)
+    )
+
+
 def _media_table(spark, sf):
     """Media payload table derived from the interleaved corpus (one media
     ref per doc) — shared by the multimodal feature + frame queries."""
@@ -936,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "crawl_flagship": q_crawl_flagship,
@@ -1032,6 +1058,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": oracles.embedding_near_dup_sql(
             dims=64, threshold=0.8, plant_every=PLANT_EVERY
+        ),
+        "semdedup": oracles.semdedup_sql(
+            dims=64, threshold=0.8, plant_every=PLANT_EVERY,
+            centroids=_ivf_trained_centroids(oracle_sf),
         ),
         "f1_rank_select": """
             SELECT o_orderpriority, pick_rank, o_orderkey, o_orderdate FROM (

@@ -382,3 +382,72 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )
+
+
+def semdedup_keep(
+    embeddings: DataFrame, dims: int, threshold: float = 0.95,
+    n_clusters: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    public method): spherical-k-means clusters bound the pairwise cosine
+    search, then within each cluster every vector that has a LOWER-id
+    neighbour at cosine >= ``threshold`` is dropped — the deterministic
+    keep-lowest-id stand-in for the paper's arbitrary keep-one-per-group
+    choice, so the kept SET is engine-exact for the oracle gate.
+
+    Returns the KEPT rows as (``id_col``, cell).
+
+    Scale shape: cluster assignment is a JVM expression over centroid
+    literals (scan-time, no shuffle — same ``_cell_expr`` as the IVF
+    index); the only pair-join shuffle keys are thin (cell, id) rows,
+    and the 64-double vectors re-join once at the verify stage (the
+    embedding_near_dup lesson: never shuffle arrays through a pair
+    table). Per-cluster work is O(n_c^2) pairs; the paper's 100-TB
+    posture grows ``n_clusters`` with the corpus (SemDeDup uses ~50-100k
+    on LAION) so n_c stays bounded, and ``max_cluster_size`` fail-opens
+    the residual hot cluster: an oversized cluster generates NO pairs
+    (everything in it is kept), the same semantics as the near-dup
+    bucket guard. Pass ``centroids`` from ``train_ivf_centroids`` —
+    untrained cells unbalance on real skewed embeddings.
+
+    This is LLM-pipeline surface beyond binux/pyspider (SURVEY §6),
+    complementing embedding_near_dup_pairs: cluster-bounded instead of
+    LSH-banded candidates, and a kept-set (selection) output instead of
+    a pair list."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents = centroids if centroids is not None else ivf_centroids(dims, n_clusters, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("doc"), vec.alias("v"),
+        _cell_expr(vec, cents).cast("int").alias("cell"),
+    ).withColumn("nv", norm(F.col("v")))
+    counts = base.groupBy("cell").agg(F.count("*").alias("_n"))
+    thin = base.select("doc", "cell").join(
+        F.broadcast(counts.where(F.col("_n") <= max_cluster_size).select("cell")),
+        "cell",
+    )
+    cand = (
+        thin.select("cell", F.col("doc").alias("doc_a"))
+        .join(thin.select("cell", F.col("doc").alias("doc_b")), "cell")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    va = base.select(
+        F.col("doc").alias("doc_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    vb = base.select(
+        F.col("doc").alias("doc_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+    dups = (
+        cand.join(va, "doc_a").join(vb, "doc_b")
+        .where(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+               >= F.lit(float(threshold)))
+        .select(F.col("doc_b").alias("doc"))
+        .distinct()
+    )
+    return (
+        base.join(dups, "doc", "left_anti")
+        .select(F.col("doc").alias(id_col), "cell")
+    )

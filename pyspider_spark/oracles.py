@@ -1191,3 +1191,55 @@ def dsir_topk_select_sql(k: int = 100, table: str = "documents",
         ORDER BY avg_dsir_micro DESC, {id_col} ASC
         LIMIT {k}
     """
+
+
+def semdedup_sql(
+    dims: int, threshold: float = 0.95,
+    n_clusters: int = 16, seed: int = 42,
+    plant_every: int | None = None, max_cluster_size: int = 10_000,
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids=None,
+) -> str:
+    """Mirror of functions.similarity.semdedup_keep: same centroid
+    literals (trained via train_ivf_centroids when provided, so
+    bit-identical to the Spark side), same 1-indexed argmax-cosine cell
+    assignment, same fail-open cluster-size guard, same within-cluster
+    lower-id-wins drop rule, kept (id, cell) out. ``plant_every``
+    mirrors the driver query's planted near-copies: for every id
+    divisible by it, a copy at id+1_000_000 with v[1] += 0.5."""
+    from pyspider_spark.functions.similarity import ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(dims, n_clusters, seed)
+    aug = f"SELECT {id_col} AS doc, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}"
+    if plant_every:
+        aug += f"""
+            UNION ALL
+            SELECT {id_col} + 1000000, list_concat([v[1] + 0.5], v[2:])
+            FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
+            WHERE {id_col} % {plant_every} = 0"""
+    sims = ",\n                ".join(
+        f"list_dot_product(v, {_vec_sql(c)}) / sqrt(list_dot_product(v, v))"
+        for c in centroids
+    )
+    return f"""
+        WITH aug AS (
+            {aug}
+        ),
+        cells AS (
+            SELECT doc, v, CAST(list_position(sims, list_max(sims)) AS INTEGER) AS cell
+            FROM (SELECT doc, v, [
+                {sims}
+            ] AS sims FROM aug)
+        ),
+        ok AS (SELECT cell FROM cells GROUP BY cell HAVING COUNT(*) <= {max_cluster_size}),
+        dups AS (
+            SELECT DISTINCT b.doc
+            FROM cells a
+            JOIN cells b ON a.cell = b.cell AND a.doc < b.doc
+            WHERE a.cell IN (SELECT cell FROM ok)
+              AND list_cosine_similarity(a.v, b.v) >= {threshold}
+        )
+        SELECT doc AS {id_col}, cell
+        FROM cells WHERE doc NOT IN (SELECT doc FROM dups)
+    """

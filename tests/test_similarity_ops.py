@@ -285,3 +285,78 @@ def test_ivf_index_param_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="params"):
         ann_topk_ivf(index, query, k=5, n_cells=16, seed=7, index=index)
     assert ann_topk_ivf(index, query, k=5, n_cells=8, seed=7, index=index).count() == 5
+
+
+def test_semdedup_planted_copies_dropped_keep_lowest_id(spark):
+    """SemDeDup kept set vs a numpy brute-force mirror of the SAME rule
+    (nearest-centroid cells, within-cell lower-id-wins at the threshold):
+    exact copies always drop, the original always survives."""
+    from pyspider_spark.functions.similarity import semdedup_keep, train_ivf_centroids
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(120, 16).astype("float64")
+    # plant exact copies of every 10th vector at id+1000
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows += [(i + 1000, base[i].tolist()) for i in range(0, 120, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(base, n_cells=4, seed=7)
+    kept = semdedup_keep(
+        df, dims=16, threshold=0.99, centroids=cents, n_clusters=4, seed=7
+    )
+    got = {(r["vec_id"], r["cell"]) for r in kept.collect()}
+
+    # numpy mirror
+    ids = np.array([r[0] for r in rows])
+    v = np.array([r[1] for r in rows])
+    nv = np.linalg.norm(v, axis=1)
+    cell = (v / nv[:, None] @ cents.T).argmax(axis=1) + 1
+    want = set()
+    for j in range(len(ids)):
+        dup = False
+        for i in range(len(ids)):
+            if cell[i] == cell[j] and ids[i] < ids[j]:
+                if v[i] @ v[j] / (nv[i] * nv[j]) >= 0.99:
+                    dup = True
+                    break
+        if not dup:
+            want.add((int(ids[j]), int(cell[j])))
+    assert got == want
+    # every planted copy dropped, every original kept
+    assert all((i + 1000, int(cell[list(ids).index(i + 1000)])) not in got
+               for i in range(0, 120, 10))
+    assert {i for i, _ in got} >= set(range(0, 120, 10))
+
+
+def test_semdedup_hot_cluster_fail_open(spark):
+    """A cluster over max_cluster_size generates NO pairs: everything in
+    it is kept (fail-open, same semantics as the near-dup bucket guard)."""
+    from pyspider_spark.functions.similarity import semdedup_keep
+
+    rng = np.random.RandomState(3)
+    d = rng.randn(16)
+    # 30 near-identical vectors -> one hot cluster
+    rows = [(i, (d + rng.randn(16) * 1e-3).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dropped = 30 - semdedup_keep(
+        df, dims=16, threshold=0.9, n_clusters=2, seed=3
+    ).count()
+    assert dropped > 0  # sanity: normally these dedup
+    kept_guarded = semdedup_keep(
+        df, dims=16, threshold=0.9, n_clusters=2, seed=3, max_cluster_size=10
+    )
+    assert kept_guarded.count() == 30
+
+
+def test_semdedup_pair_join_is_thin_and_cell_keyed(spark):
+    """Plan shape: no CartesianProduct, and the pair-stage exchanges move
+    thin (cell, id) rows — the embedding arrays re-join only at verify."""
+    from pyspider_spark.functions.similarity import semdedup_keep
+
+    rng = np.random.RandomState(9)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.randn(50, 16))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = (
+        semdedup_keep(df, dims=16, threshold=0.95, n_clusters=4, seed=9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
