@@ -589,6 +589,17 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), max_tokens=2048, bucket_span=64)
 
 
+def q_training_shards(spark, sf):
+    """Deterministic training-shard writer layout: every document lands
+    in one of 16 shards under a seeded md5-slice permutation (a
+    reproducible global shuffle — no RNG), with its in-shard position
+    and exclusive token offset. One hash exchange + one per-shard sort;
+    no global ordering anywhere."""
+    from pyspider_spark.operators.corpus import training_shards
+
+    return training_shards(_t(spark, sf, "documents"), n_shards=16)
+
+
 def q_mixture_weights(spark, sf):
     """Per-language resampling weights to hit a target mixture (target
     share / observed share) + the capped Bernoulli keep-rate."""
@@ -727,6 +738,18 @@ def q_dsir_topk_select(spark, sf):
     from pyspider_spark.operators.textprep import dsir_topk_select
 
     return dsir_topk_select(_t(spark, sf, "documents"), k=100)
+
+
+def q_quality_classifier(spark, sf):
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2016): unigram + adjacent-bigram features hash into 256 integer
+    micro-weight buckets via the portable md5-slice hash; the per-doc
+    score is an exact integer sum, normalized by feature count, and
+    thresholded into a keep flag. Pure scan-time whole-stage-codegen
+    map — zero shuffle, zero Python."""
+    from pyspider_spark.operators.textprep import hashed_linear_classifier
+
+    return hashed_linear_classifier(_t(spark, sf, "documents"))
 
 
 def q_dedup_simhash(spark, sf):
@@ -947,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "ngram_contamination": q_ngram_contamination,
         "pack_sequences": q_pack_sequences,
+        "training_shards": q_training_shards,
         "mixture_weights": q_mixture_weights,
         "rebalance_mix": q_rebalance,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -955,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "dsir_logratio": q_dsir_logratio,
         "dsir_topk_select": q_dsir_topk_select,
+        "quality_classifier": q_quality_classifier,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1026,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             n=8, min_hits=1, bench_pred="doc_id % 97 = 0"
         ),
         "pack_sequences": oracles.pack_sequences_sql(max_tokens=2048),
+        "training_shards": oracles.training_shards_sql(n_shards=16),
         "mixture_weights": oracles.mixture_weights_sql(_MIX_TARGETS),
         "rebalance_mix": oracles.rebalance_sql(_MIX_TARGETS),
         "dedup_paragraphs": oracles.dedup_paragraphs_sql(
@@ -1048,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "dsir_logratio": oracles.dsir_logratio_sql(),
         "dsir_topk_select": oracles.dsir_topk_select_sql(k=100),
+        "quality_classifier": oracles.quality_classifier_sql(),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

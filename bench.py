@@ -56,6 +56,9 @@ HEADLINE = [
     "rebalance_mix",
     "dedup_paragraphs",
     "url_filter",
+    # round 5 session 2: learned quality gate + shard writer layout
+    "quality_classifier",
+    "training_shards",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

@@ -490,3 +490,54 @@ def span_dedup(
             F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("dup_spans"),
         )
     )
+
+
+# --- deterministic training-shard assignment ---------------------------------
+
+
+def training_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, shard, shard_pos, tok_offset): the writer verb
+    at the end of the pipeline — assign every document to one of
+    ``n_shards`` training shards under a DETERMINISTIC pseudo-random
+    global shuffle, with its in-shard position and exclusive token
+    offset (what a dataloader needs to seek). The permutation key is the
+    portable md5-slice hash of the doc id under a seeded salt, so the
+    assignment is reproducible across engines, reruns, and resumes (the
+    property RNG-based ``orderBy(rand())`` shuffles lack), and uniform
+    (no hot shards by construction).
+
+    Scale shape: the plan is exactly the minimum a shuffled shard write
+    costs — ONE hash exchange on the shard key plus a per-shard sort for
+    the window pair (row_number + running token sum share one sort).
+    There is no global ordering anywhere: no rangepartitioning, no
+    single-partition window, no driver collect (plan-pinned by
+    ``test_training_shards_plan``). Choose ``n_shards`` ≈ a few × the
+    writer parallelism so each shard sorts (and spills) independently;
+    at 100 TB the same frame feeds
+    ``df.repartition("shard").sortWithinPartitions(...).write
+    .partitionBy("shard")`` unchanged."""
+    key = md5_hash56(F.col(id_col).cast("string"), salt=f"shuffle:{seed}")
+    base = docs.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        key.alias("_key"),
+    ).withColumn("shard", (F.col("_key") % int(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("shard_pos"),
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tok_offset"),
+    )

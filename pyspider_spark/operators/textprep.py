@@ -419,3 +419,102 @@ def dsir_topk_select(
     the boundary for a scan-shaped plan."""
     w = dsir_logratio(docs, id_col, text_col, target_col, target_value)
     return w.orderBy(F.col("avg_dsir_micro").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --- fastText-style hashed linear quality classifier ------------------------
+
+
+def clf_weights(n_buckets: int = 256, seed: int = 1607):
+    """Deterministic integer micro-weights for the hashed linear
+    classifier: the stand-in for a trained fastText/logistic quality
+    model (the same role the seeded spherical-k-means centroids play for
+    the IVF index — the plumbing, hashing, and plan shape are real; a
+    production deployment loads trained weights into the same vector).
+    Integer "micro" units (1e-6) so every engine sums exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(-1_000_000, 1_000_001, size=n_buckets).astype("int64")
+
+
+def hashed_linear_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int = 1607,
+    keep_threshold_micro: int = 0,
+    weights=None,
+) -> DataFrame:
+    """(doc_id, n_features, clf_micro_sum, avg_clf_micro, keep): apply a
+    hashing-trick linear text classifier — the fastText construction
+    (Joulin et al. 2016 arXiv:1607.01759, hashing trick per Weinberger
+    et al. 2009) that CCNet-style pipelines use as the learned quality
+    gate next to the rule-based ``quality_score``. Features are the
+    lowercase word unigrams plus adjacent-word bigrams; each feature
+    hashes to one of ``n_buckets`` weights via the engine-portable
+    md5-slice hash, and the per-document score is the exact integer sum
+    of its feature micro-weights. ``avg_clf_micro`` is the
+    length-normalized score (floor of sum/n, the quantize-before-divide
+    construction proved hash-stable by ``unigram_logprob``), and
+    ``keep`` thresholds it.
+
+    Scale shape: a pure scan-time map — tokenize, feature-hash, and
+    weight-sum are all row-local whole-stage-codegen expressions with
+    the weight vector embedded as a plan literal, so at 100 TB this is
+    a free rider on whatever scan reads the text column: zero shuffle,
+    zero Python, zero joins (plan-pinned by
+    ``test_classifier_plan_is_scan_only``). Plan literals hold to
+    ~10^5 buckets; a fastText-sized 10^6-bucket model should instead
+    broadcast a (bucket, weight) table and sum via explode +
+    broadcast-join — same semantics, still shuffle-free on the corpus
+    side. The reference has no learned-filter surface (its pipeline
+    stops at result dumps); this is Spark-first LLM-corpus extension
+    surface like the rest of this module."""
+    w = clf_weights(n_buckets, seed) if weights is None else weights
+    if len(w) != n_buckets:
+        raise ValueError(f"weights len {len(w)} != n_buckets {n_buckets}")
+    warr = F.array(*[F.lit(int(x)) for x in w])
+
+    toks = _words(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def bucket(f):
+        return (md5_hash56(f, salt="clf") % n_buckets).cast("int")
+
+    feats = docs.select(
+        F.col(id_col), F.concat(toks, bigrams).alias("_feats")
+    )
+    scored = feats.select(
+        id_col,
+        F.size("_feats").cast("long").alias("n_features"),
+        F.aggregate(
+            "_feats",
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + F.element_at(warr, bucket(f) + 1).cast("long"),
+        ).alias("clf_micro_sum"),
+    )
+    return scored.select(
+        id_col,
+        "n_features",
+        "clf_micro_sum",
+        F.when(
+            F.col("n_features") > 0,
+            F.floor(
+                F.col("clf_micro_sum").cast("double")
+                / F.col("n_features").cast("double")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("avg_clf_micro"),
+    ).withColumn(
+        "keep", F.col("avg_clf_micro") >= F.lit(int(keep_threshold_micro))
+    )

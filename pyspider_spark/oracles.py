@@ -1243,3 +1243,91 @@ def semdedup_sql(
         SELECT doc AS {id_col}, cell
         FROM cells WHERE doc NOT IN (SELECT doc FROM dups)
     """
+
+
+def quality_classifier_sql(
+    n_buckets: int = 256, seed: int = 1607, keep_threshold_micro: int = 0,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    weights=None,
+) -> str:
+    """Mirror of operators.textprep.hashed_linear_classifier: same
+    tokenizer, same unigram+adjacent-bigram features, same md5-slice
+    bucket hash (salt 'clf'), same integer micro-weight literals from
+    clf_weights(seed), same floor(sum/n) normalization — so the value
+    hash pins the classifier end to end. range(1, len) is empty for
+    0/1-token docs in DuckDB, matching the Spark n>=2 guard."""
+    from pyspider_spark.operators.textprep import clf_weights
+
+    w = clf_weights(n_buckets, seed) if weights is None else weights
+    wlist = "[" + ", ".join(str(int(x)) for x in w) + "]"
+    bucket = f"CAST({md5_hash56_sql('f', salt='clf')} % {n_buckets} AS INTEGER)"
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS toks
+            FROM {table}
+        ),
+        fe AS (
+            SELECT {id_col},
+                   list_concat(
+                       toks,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || '_' || toks[i + 1])
+                   ) AS feats
+            FROM w
+        ),
+        t AS (SELECT {id_col}, unnest(feats) AS f FROM fe),
+        s AS (
+            SELECT {id_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_features,
+                   CAST(SUM(list_extract({wlist}, {bucket} + 1))
+                        AS BIGINT) AS clf_micro_sum
+            FROM t GROUP BY {id_col}
+        ),
+        agg AS (
+            SELECT fe.{id_col},
+                   CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+                   CAST(COALESCE(s.clf_micro_sum, 0) AS BIGINT) AS clf_micro_sum,
+                   CAST(COALESCE(FLOOR(CAST(s.clf_micro_sum AS DOUBLE)
+                                       / CAST(s.n_features AS DOUBLE)), 0)
+                        AS BIGINT) AS avg_clf_micro
+            FROM fe LEFT JOIN s USING ({id_col})
+        )
+        SELECT {id_col}, n_features, clf_micro_sum, avg_clf_micro,
+               avg_clf_micro >= {int(keep_threshold_micro)} AS keep
+        FROM agg
+    """
+
+
+def training_shards_sql(
+    n_shards: int = 64, seed: int = 1,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.corpus.training_shards: same md5-slice
+    permutation key (salt 'shuffle:{seed}'), same modulo shard, same
+    (key, id)-ordered row_number and exclusive integer token prefix sum
+    per shard — all-integer arithmetic, so the value hash pins the
+    whole shard layout."""
+    key = md5_hash56_sql(f"CAST({id_col} AS VARCHAR)", salt=f"shuffle:{seed}")
+    return f"""
+        WITH base AS (
+            SELECT {id_col},
+                   CAST(len(regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                               '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   {key} AS k
+            FROM {table}
+        )
+        SELECT {id_col},
+               n_tokens,
+               CAST(k % {int(n_shards)} AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k % {int(n_shards)}
+                                       ORDER BY k, {id_col}) - 1
+                    AS BIGINT) AS shard_pos,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY k % {int(n_shards)}
+                        ORDER BY k, {id_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS tok_offset
+        FROM base
+    """

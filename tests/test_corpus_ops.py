@@ -317,3 +317,61 @@ def test_span_dedup_survives_no_broadcast(spark):
         assert sorted(map(tuple, out.collect())) == base
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+# --- deterministic training-shard assignment ---------------------------------
+
+
+def test_training_shards_matches_python_mirror(spark):
+    """Shard, in-shard position, and exclusive token offset all match a
+    hashlib mirror of the same permutation — the layout is deterministic,
+    not RNG."""
+    import hashlib
+    import re
+
+    from pyspider_spark.operators.corpus import training_shards
+
+    rows = [(i, ("tok " * (i % 7 + 1)).strip() if i % 11 else None)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, training_shards(docs, n_shards=8, seed=3).collect()))
+
+    def key(i):
+        return int(hashlib.md5(f"shuffle:3{i}".encode()).hexdigest()[:14], 16)
+
+    per_shard: dict[int, list] = {}
+    for i, t in rows:
+        n = len(re.findall(r"[a-z0-9]+", (t or "").lower()))
+        per_shard.setdefault(key(i) % 8, []).append((key(i), i, n))
+    want = []
+    for shard, members in per_shard.items():
+        off = 0
+        for pos, (_, i, n) in enumerate(sorted(members)):
+            want.append((i, n, shard, pos, off))
+            off += n
+    assert got == sorted(want)
+
+
+def test_training_shards_rerun_and_partitioning_invariant(spark):
+    """Same layout on rerun and at any input partitioning (resume-safe
+    writer contract)."""
+    from pyspider_spark.operators.corpus import training_shards
+
+    rows = [(i, "w%d x y" % i) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, training_shards(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, training_shards(docs.repartition(16)).collect()))
+    assert a == b
+
+
+def test_training_shards_plan(spark):
+    """Scale contract: one hash exchange on the shard key, no global
+    ordering — no rangepartitioning, no single-partition exchange."""
+    from pyspider_spark.operators.corpus import training_shards
+
+    rows = [(i, "a b c") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _plan(training_shards(docs, n_shards=8))
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

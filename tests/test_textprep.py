@@ -285,3 +285,83 @@ def test_dsir_topk_select_deterministic_and_heap_shaped(spark):
     assert min(all_w[d] for d in kept) >= max(
         w for d, w in all_w.items() if d not in kept
     )
+
+
+# --- fastText-style hashed linear classifier ---------------------------------
+
+
+def _py_clf(texts, n_buckets=256, seed=1607, thr=0):
+    """Pure-Python mirror of hashed_linear_classifier."""
+    import hashlib
+    import math
+    import re
+
+    from pyspider_spark.operators.textprep import clf_weights
+
+    w = clf_weights(n_buckets, seed)
+    out = {}
+    for i, t in texts:
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        feats = toks + [a + "_" + b for a, b in zip(toks, toks[1:])]
+        s = sum(
+            int(w[int(hashlib.md5(("clf" + f).encode()).hexdigest()[:14], 16)
+                    % n_buckets])
+            for f in feats
+        )
+        n = len(feats)
+        avg = math.floor(s / n) if n else 0
+        out[i] = (n, s if n else 0, avg, avg >= thr)
+    return out
+
+
+def test_classifier_matches_python_mirror(spark):
+    """Spark output == a hashlib/numpy mirror of the same construction,
+    including empty/null/1-token docs (no bigrams) and punctuation."""
+    from pyspider_spark.operators.textprep import hashed_linear_classifier
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog!"),
+        (1, "hello"),
+        (2, ""),
+        (3, None),
+        (4, "a b a b a b repeated bigrams, YES: 42 a-b"),
+        (5, "unicode naïve café text mixed 123 tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["clf_micro_sum"],
+                      r["avg_clf_micro"], r["keep"])
+        for r in hashed_linear_classifier(docs).collect()
+    }
+    assert got == _py_clf(rows)
+
+
+def test_classifier_partitioning_invariant(spark):
+    """Integer micro-weights: identical output at 1 and 16 partitions."""
+    from pyspider_spark.operators.textprep import hashed_linear_classifier
+
+    rows = [(i, ("word%d common text " % (i % 9)) * (i % 4 + 1)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, hashed_linear_classifier(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, hashed_linear_classifier(docs.repartition(16)).collect()))
+    assert a == b
+
+
+def test_classifier_plan_is_scan_only(spark, tmp_path):
+    """Scale contract: the classifier is a pure scan-time map — no
+    Exchange, no Join, no Python eval in the physical plan, and only the
+    (id, text) columns read from parquet."""
+    from pyspider_spark.operators.textprep import hashed_linear_classifier
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "some text here", "extra") for i in range(10)],
+        "doc_id long, text string, other string",
+    ).write.parquet(p)
+    df = hashed_linear_classifier(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_line and "other" not in schema_line[0]
