@@ -600,6 +600,28 @@ def q_training_shards(spark, sf):
     return training_shards(_t(spark, sf, "documents"), n_shards=16)
 
 
+def q_dup_substring_spans(spark, sf):
+    """Maximal cross-document duplicated token spans (the Lee et al.
+    2021 exact-substring cut list, fixed 10-gram granularity):
+    gram-hash doc frequency >= 2 distinct docs, overlapping-or-adjacent
+    duplicated gram intervals merged per doc via gaps-and-islands.
+    Corpus x corpus — nothing broadcasts; the island merge windows per
+    doc only."""
+    from pyspider_spark.operators.corpus import dup_substring_spans
+
+    return dup_substring_spans(_t(spark, sf, "documents"), n=10, min_docs=2)
+
+
+def q_perplexity_buckets(spark, sf):
+    """CCNet-style head/middle/tail terciles per language by unigram-LM
+    score (Wenzek et al. 2019): ties-inclusive descending cume over a
+    (lang, score) histogram — never a corpus-wide per-language window —
+    with all-integer bucket tests."""
+    from pyspider_spark.operators.textprep import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents"))
+
+
 def q_mixture_weights(spark, sf):
     """Per-language resampling weights to hit a target mixture (target
     share / observed share) + the capped Bernoulli keep-rate."""
@@ -971,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "pack_sequences": q_pack_sequences,
         "training_shards": q_training_shards,
+        "dup_substring_spans": q_dup_substring_spans,
+        "perplexity_buckets": q_perplexity_buckets,
         "mixture_weights": q_mixture_weights,
         "rebalance_mix": q_rebalance,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1052,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": oracles.pack_sequences_sql(max_tokens=2048),
         "training_shards": oracles.training_shards_sql(n_shards=16),
+        "dup_substring_spans": oracles.dup_substring_spans_sql(n=10, min_docs=2),
+        "perplexity_buckets": oracles.perplexity_buckets_sql(),
         "mixture_weights": oracles.mixture_weights_sql(_MIX_TARGETS),
         "rebalance_mix": oracles.rebalance_sql(_MIX_TARGETS),
         "dedup_paragraphs": oracles.dedup_paragraphs_sql(

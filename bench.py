@@ -59,6 +59,9 @@ HEADLINE = [
     # round 5 session 2: learned quality gate + shard writer layout
     "quality_classifier",
     "training_shards",
+    # round 5 session 3: substring cut list + CCNet terciles
+    "dup_substring_spans",
+    "perplexity_buckets",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

@@ -541,3 +541,82 @@ def training_shards(
         .cast("long")
         .alias("tok_offset"),
     )
+
+
+# --- cross-document duplicated-substring spans --------------------------------
+
+
+def dup_substring_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_grams): the actual
+    maximal duplicated token ranges per document — the cut list that
+    exact-substring training-data dedup removes (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"; public),
+    at fixed gram length ``n`` instead of a suffix array. This completes
+    :func:`span_dedup`, which only counts duplicated grams per doc: an
+    ``n``-gram is duplicated when it occurs in at least ``min_docs``
+    distinct documents, and overlapping-or-adjacent duplicated gram
+    intervals ``[pos, pos + n - 1]`` merge into one maximal span
+    (gaps-and-islands: a new island starts when the next duplicated
+    start position exceeds the previous by more than ``n``). Positions
+    are 0-based token offsets; ``n_grams`` is how many duplicated grams
+    the span absorbed. Integer-only output keeps the oracle hash exact.
+
+    Scale shape — corpus x corpus, so nothing broadcasts: grams reduce
+    row-local to 56-bit hashes (shuffle-free transform(sequence)
+    shingling), the gram document-frequency is a distinct + map-side-
+    combined groupBy over thin (doc, gh) longs, and the duplicated-gram
+    set flows back through a plain shuffle hash join on the 8-byte key.
+    The island merge windows per DOC over only that doc's duplicated
+    positions — bounded by doc length, never corpus-wide. Hot grams
+    (boilerplate sentences in millions of docs) skew the doc-frequency
+    reduce; map-side partials absorb them, and the join back is
+    probe-side-skewed only, which AQE skew splitting handles."""
+    per_doc = docs.select(
+        F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("w")
+    ).select(
+        "doc",
+        F.transform(_word_ngrams("w", n), lambda g: md5_hash56(g)).alias("ghs"),
+    )
+    pos = per_doc.select("doc", F.posexplode("ghs").alias("pos", "gh"))
+    dup = (
+        pos.select("doc", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("gh")
+    )
+    hit = pos.join(dup, "gh").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hit.withColumn(
+        "_new",
+        F.when(prev.isNull() | (F.col("pos") - prev > int(n)), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("doc", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(int(n) - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            "n_grams",
+        )
+    )

@@ -518,3 +518,73 @@ def hashed_linear_classifier(
     ).withColumn(
         "keep", F.col("avg_clf_micro") >= F.lit(int(keep_threshold_micro))
     )
+
+
+# --- CCNet-style per-language perplexity buckets -----------------------------
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, avg_lp_micro, bucket): partition each language's
+    documents into CCNet's head / middle / tail quality terciles by
+    LM score (Wenzek et al. 2019 arXiv:1911.00359 — CCNet buckets each
+    language by perplexity under a small LM and keeps the head). The
+    score is :func:`unigram_logprob`'s integer ``avg_lp_micro`` (higher
+    = more probable = better), ranked DESCENDING within each language;
+    a document's bucket comes from its ties-inclusive cumulative count
+    ``cume`` (how many docs in the language score >= it):
+    head if ``3*cume <= total``, middle if ``3*cume <= 2*total``, else
+    tail — all-integer comparisons, so the oracle hash is exact and
+    tied scores always share a bucket.
+
+    Scale shape — the naive plan (percent_rank over a window
+    partitioned by language) puts an ENTIRE language in one task, which
+    at 100 TB is a straggler by construction. Instead this builds the
+    per-language score CDF as a histogram: groupBy (lang, score) —
+    map-side combined, output bounded by distinct scores, not corpus
+    rows — then windows over THAT histogram (per-language row count =
+    distinct scores only) and joins the (lang, score) -> bucket map
+    back to the corpus on the composite key. The bucket map is
+    histogram-sized, usually broadcastable; the corpus-side join is the
+    only corpus-scale exchange."""
+    # persisted: the scored frame feeds both the histogram branch and the
+    # final output join — without the cache the whole unigram-LM subtree
+    # (token explode + frequency join) runs twice.
+    scored = (
+        unigram_logprob(docs, id_col, text_col)
+        .join(
+            docs.select(
+                F.col(id_col), F.coalesce(F.col(lang_col), F.lit("")).alias("lang")
+            ),
+            id_col,
+        )
+        .persist()
+    )
+    hist = scored.groupBy("lang", "avg_lp_micro").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang").orderBy(F.col("avg_lp_micro").desc())
+    cum = hist.withColumn(
+        "cume", F.sum("cnt").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = hist.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    bmap = (
+        cum.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "avg_lp_micro",
+            F.when(F.col("cume") * 3 <= F.col("total"), F.lit("head"))
+            .when(F.col("cume") * 3 <= F.col("total") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return scored.join(F.broadcast(bmap), ["lang", "avg_lp_micro"]).select(
+        id_col, "lang", "avg_lp_micro", "bucket"
+    )

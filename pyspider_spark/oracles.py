@@ -1331,3 +1331,92 @@ def training_shards_sql(
                     0) AS BIGINT) AS tok_offset
         FROM base
     """
+
+
+def dup_substring_spans_sql(
+    n: int = 10, min_docs: int = 2, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.corpus.dup_substring_spans: same tokenizer,
+    same space-joined n-grams hashed with the 56-bit md5 slice, same
+    >= min_docs distinct-document frequency test, same gaps-and-islands
+    interval merge (new island when the next duplicated start exceeds
+    the previous by more than n). All-integer output, so the value hash
+    pins the exact cut list."""
+    gh = md5_hash56_sql("array_to_string(w[p:p+" + str(int(n) - 1) + "], ' ')")
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        flat AS (
+            SELECT {id_col},
+                   unnest([{{'pos': p - 1, 'gh': {gh}}}
+                           for p in generate_series(1, len(w) - {int(n) - 1})],
+                          recursive := true)
+            FROM w WHERE len(w) >= {int(n)}
+        ),
+        dup AS (
+            SELECT gh FROM (SELECT DISTINCT {id_col}, gh FROM flat)
+            GROUP BY gh HAVING COUNT(*) >= {int(min_docs)}
+        ),
+        hit AS (SELECT {id_col}, pos FROM flat JOIN dup USING (gh)),
+        fl AS (
+            SELECT {id_col}, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > {int(n)}
+                        THEN 1 ELSE 0 END AS nw
+            FROM hit
+            WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+        ),
+        isl AS (
+            SELECT {id_col}, pos,
+                   SUM(nw) OVER (PARTITION BY {id_col} ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM fl
+        )
+        SELECT {id_col},
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {int(n) - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {int(n) - 1} - MIN(pos) + 1 AS BIGINT)
+                   AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY {id_col}, island
+    """
+
+
+def perplexity_buckets_sql(
+    table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", lang_col: str = "lang",
+) -> str:
+    """Mirror of operators.textprep.perplexity_buckets: the per-doc
+    integer avg_lp_micro comes from the unigram_logprob construction,
+    and the bucket is the same ties-inclusive descending cumulative
+    count test (3*cume <= total -> head, <= 2*total -> middle, else
+    tail). DuckDB's RANGE frame over ORDER BY ... DESC includes ties,
+    which is exactly the histogram-CDF cume the Spark plan computes."""
+    lp = unigram_logprob_sql(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+        WITH lp AS ({lp}),
+        j AS (
+            SELECT d.{id_col},
+                   COALESCE(d.{lang_col}, '') AS lang,
+                   lp.avg_lp_micro
+            FROM {table} d JOIN lp USING ({id_col})
+        ),
+        c AS (
+            SELECT {id_col}, lang, avg_lp_micro,
+                   SUM(1) OVER (PARTITION BY lang ORDER BY avg_lp_micro DESC
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cume,
+                   COUNT(*) OVER (PARTITION BY lang) AS total
+            FROM j
+        )
+        SELECT {id_col}, lang, avg_lp_micro,
+               CASE WHEN cume * 3 <= total THEN 'head'
+                    WHEN cume * 3 <= total * 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM c
+    """

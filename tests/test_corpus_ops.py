@@ -375,3 +375,107 @@ def test_training_shards_plan(spark):
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- cross-document duplicated-substring spans --------------------------------
+
+
+def _py_dup_spans(rows, n=4, min_docs=2):
+    """Pure-Python mirror of dup_substring_spans (hashing elided: grouping
+    by the gram string is equivalent absent collisions)."""
+    import re
+
+    grams = {}  # doc -> [(pos, gram)]
+    for i, t in rows:
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        grams[i] = [
+            (p, " ".join(toks[p : p + n])) for p in range(len(toks) - n + 1)
+        ]
+    docfreq = {}
+    for i, gs in grams.items():
+        for g in {g for _, g in gs}:
+            docfreq[g] = docfreq.get(g, 0) + 1
+    out = []
+    for i, gs in grams.items():
+        hits = sorted(p for p, g in gs if docfreq[g] >= min_docs)
+        if not hits:
+            continue
+        start = prev = hits[0]
+        cnt = 1
+        for p in hits[1:]:
+            if p - prev > n:
+                out.append((i, start, prev + n - 1, prev + n - start, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        out.append((i, start, prev + n - 1, prev + n - start, cnt))
+    return sorted(out)
+
+
+def test_dup_substring_spans_matches_python_mirror(spark):
+    """Spans, 0-based token positions, and gram counts all match a
+    pure-Python mirror, including adjacent-interval merge, within-doc
+    repeats of a cross-doc gram, and docs below the gram length."""
+    from pyspider_spark.operators.corpus import dup_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"intro words here {shared} middle filler {shared} tail end pad"),
+        (1, f"{shared} unrelated suffix goes on and on"),
+        (2, "completely different text with no duplication at all indeed"),
+        (3, "tiny"),
+        (4, None),
+        (5, f"prefix {shared} and also completely different text with no"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, dup_substring_spans(docs, n=4, min_docs=2).collect())
+    )
+    assert got == _py_dup_spans(rows, n=4, min_docs=2)
+    assert got  # non-vacuous
+
+
+def test_dup_substring_spans_min_docs_excludes_within_doc_repeats(spark):
+    """A gram repeated twice inside ONE doc but present nowhere else does
+    not reach min_docs=2 (frequency counts distinct documents)."""
+    from pyspider_spark.operators.corpus import dup_substring_spans
+
+    rows = [
+        (0, "only here only here only here only here"),
+        (1, "nothing shared with the first document at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dup_substring_spans(docs, n=4, min_docs=2).count() == 0
+
+
+def test_dup_substring_spans_partitioning_invariant(spark):
+    from pyspider_spark.operators.corpus import dup_substring_spans
+
+    base = "the common run of tokens shared by many documents here"
+    rows = [(i, base + f" unique{i} suffix{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dup_substring_spans(docs.coalesce(1), n=5).collect()))
+    b = sorted(
+        map(tuple, dup_substring_spans(docs.repartition(16), n=5).collect())
+    )
+    assert a == b and a
+
+
+def test_dup_substring_spans_plan_no_broadcast_no_cartesian(spark):
+    """Scale contract: corpus x corpus — the dup-gram join must stay a
+    shuffle join (no broadcast of a corpus-scale set), and there is no
+    cartesian product anywhere."""
+    from pyspider_spark.operators.corpus import dup_substring_spans
+
+    rows = [(i, "a b c d e f g h") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(dup_substring_spans(docs, n=4))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        out = dup_substring_spans(docs, n=4).count()
+        assert out == 30  # every doc is one maximal span of the shared text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -365,3 +365,102 @@ def test_classifier_plan_is_scan_only(spark, tmp_path):
     assert "Python" not in plan and "BatchEval" not in plan
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schema_line and "other" not in schema_line[0]
+
+
+# --- CCNet-style perplexity buckets -------------------------------------------
+
+
+def _py_buckets(rows):
+    """Pure-Python mirror of perplexity_buckets: unigram micro-nat
+    scores, then ties-inclusive descending cume terciles per language."""
+    import math
+    import re
+
+    toks = {i: re.findall(r"[a-z0-9]+", (t or "").lower()) for i, t, _ in rows}
+    freq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    total = sum(freq.values())
+    score = {}
+    for i, ts in toks.items():
+        if ts:
+            s = sum(math.floor(math.log(freq[t] / total) * 1e6) for t in ts)
+            score[i] = math.floor(s / len(ts))
+        else:
+            score[i] = 0
+    langs: dict[str, list] = {}
+    for i, _, lang in rows:
+        langs.setdefault(lang or "", []).append(i)
+    out = {}
+    for lang, ids in langs.items():
+        n = len(ids)
+        for i in ids:
+            cume = sum(1 for j in ids if score[j] >= score[i])
+            b = "head" if 3 * cume <= n else ("middle" if 3 * cume <= 2 * n else "tail")
+            out[i] = (lang, score[i], b)
+    return out
+
+
+def test_perplexity_buckets_matches_python_mirror(spark):
+    """Bucket assignment matches the mirror, including tied scores
+    sharing a bucket, null lang -> '', and empty docs (score 0)."""
+    from pyspider_spark.operators.textprep import perplexity_buckets
+
+    rows = [
+        (0, "the the the the common words", "en"),
+        (1, "the the common words too", "en"),
+        (2, "zyzzyx qwrtp rare rare tokens", "en"),
+        (3, "middling mix of the and rare qwrtp", "en"),
+        (4, "the the the", "en"),
+        (5, "una lingua diversa qui", "it"),
+        (6, "altra frase qui", "it"),
+        (7, "terza frase diversa", "it"),
+        (8, "", "it"),
+        (9, "no lang at all", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["lang"], r["avg_lp_micro"], r["bucket"])
+        for r in perplexity_buckets(docs).collect()
+    }
+    assert got == _py_buckets(rows)
+    assert {b for _, _, b in got.values()} == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_every_doc_once_and_terciles_balanced(spark):
+    """Each doc appears exactly once; with 9 all-distinct scores in one
+    language the terciles split 3/3/3."""
+    from pyspider_spark.operators.textprep import perplexity_buckets
+
+    rows = [(i, "tok%d " % i * (i + 1) + "shared anchor", "en") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 9 and len({r["doc_id"] for r in out}) == 9
+    from collections import Counter
+
+    assert Counter(r["bucket"] for r in out) == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_perplexity_buckets_no_corpus_wide_language_window(spark):
+    """Scale contract: the only windows run over the (lang, score)
+    histogram, so no plan node sorts corpus rows by language — the
+    corpus-side frames never pass through a Window at all (histogram
+    aggregate + broadcast joins back)."""
+    from pyspider_spark.operators.textprep import perplexity_buckets
+
+    rows = [(i, "w%d x" % (i % 5), "en") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df = perplexity_buckets(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE Window in the whole plan — it runs over the
+    # (lang, score) histogram aggregate, never over corpus rows
+    # (unigram_logprob's token join may legitimately sort-merge; the
+    # corpus frames themselves must not pass through any Window)
+    assert plan.count("Window ") == 1
+    # and the (lang, score) -> bucket map joins back via broadcast
+    assert "BroadcastHashJoin [lang" in plan and "avg_lp_micro" in plan.split(
+        "BroadcastHashJoin [lang", 1
+    )[1].split("]", 1)[0]
+    # the scored intermediate is persisted, not recomputed per branch
+    assert "InMemoryTableScan" in plan
