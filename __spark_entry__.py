@@ -622,6 +622,27 @@ def q_perplexity_buckets(spark, sf):
     return perplexity_buckets(_t(spark, sf, "documents"))
 
 
+def q_apply_span_cuts(spark, sf):
+    """The APPLICATION half of exact-substring dedup: remove every token
+    inside a dup_substring_spans cut range, rejoin survivors in order.
+    Cut lists aggregate to one row per affected doc and join back
+    doc-keyed; the edit itself is a row-local filter-with-index — no
+    token explode, no window."""
+    from pyspider_spark.operators.corpus import apply_span_cuts
+
+    return apply_span_cuts(_t(spark, sf, "documents"), n=10, min_docs=2)
+
+
+def q_gopher_rules(spark, sf):
+    """The seven document-level Gopher quality rules (Rae et al. 2021
+    App. A1.1) as all-integer row-local expressions — zero shuffle, a
+    free rider on the text scan; repetition rules live in
+    repetition_stats."""
+    from pyspider_spark.operators.textprep import gopher_rules
+
+    return gopher_rules(_t(spark, sf, "documents"))
+
+
 def q_mixture_weights(spark, sf):
     """Per-language resampling weights to hit a target mixture (target
     share / observed share) + the capped Bernoulli keep-rate."""
@@ -994,7 +1015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "training_shards": q_training_shards,
         "dup_substring_spans": q_dup_substring_spans,
+        "apply_span_cuts": q_apply_span_cuts,
         "perplexity_buckets": q_perplexity_buckets,
+        "gopher_rules": q_gopher_rules,
         "mixture_weights": q_mixture_weights,
         "rebalance_mix": q_rebalance,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1077,7 +1100,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.pack_sequences_sql(max_tokens=2048),
         "training_shards": oracles.training_shards_sql(n_shards=16),
         "dup_substring_spans": oracles.dup_substring_spans_sql(n=10, min_docs=2),
+        "apply_span_cuts": oracles.apply_span_cuts_sql(n=10, min_docs=2),
         "perplexity_buckets": oracles.perplexity_buckets_sql(),
+        "gopher_rules": oracles.gopher_rules_sql(),
         "mixture_weights": oracles.mixture_weights_sql(_MIX_TARGETS),
         "rebalance_mix": oracles.rebalance_sql(_MIX_TARGETS),
         "dedup_paragraphs": oracles.dedup_paragraphs_sql(

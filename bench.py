@@ -62,6 +62,9 @@ HEADLINE = [
     # round 5 session 3: substring cut list + CCNet terciles
     "dup_substring_spans",
     "perplexity_buckets",
+    # round 5 session 4: cut application + Gopher document rules
+    "apply_span_cuts",
+    "gopher_rules",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

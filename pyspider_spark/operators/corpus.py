@@ -620,3 +620,52 @@ def dup_substring_spans(
             "n_grams",
         )
     )
+
+
+def apply_span_cuts(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text_cut, n_tokens, n_removed): the APPLICATION half of
+    exact-substring dedup — every token inside a :func:`dup_substring_spans`
+    cut range is removed and the survivors rejoin in original order (Lee
+    et al. 2021's "remove the duplicated span, keep the remainder" policy,
+    at fixed gram length). Tokenization is the shared lowercase-alnum
+    ``_words``, so ``text_cut`` is a normalized token stream, not the raw
+    byte string — the shape a tokenizer consumes next. ``n_tokens`` /
+    ``n_removed`` are longs, so the oracle hash pins the whole edit.
+
+    Scale shape: the cut list aggregates to ONE row per affected doc
+    (span structs, bounded by doc length / n) and joins back doc-keyed —
+    a shuffle hash join whose right side is only docs-with-duplication.
+    The edit itself is row-local (filter-with-index over the token array
+    against an exists() over the doc's own cut structs): no explode to
+    token rows, no window. Unaffected docs pass through the left join
+    with a null cut list and keep every token."""
+    spans = dup_substring_spans(docs, n, min_docs, id_col, text_col)
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
+    )
+    base = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    kept = F.when(F.col("_cuts").isNull(), F.col("_w")).otherwise(
+        F.filter(
+            "_w",
+            lambda tok, i: ~F.exists(
+                "_cuts",
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+        )
+    )
+    return (
+        base.join(cuts, id_col, "left")
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.array_join("_kept", " ").alias("text_cut"),
+            F.size("_w").cast("long").alias("n_tokens"),
+            (F.size("_w") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )

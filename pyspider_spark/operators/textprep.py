@@ -588,3 +588,114 @@ def perplexity_buckets(
     return scored.join(F.broadcast(bmap), ["lang", "avg_lp_micro"]).select(
         id_col, "lang", "avg_lp_micro", "bucket"
     )
+
+
+# --- Gopher document-quality rules -------------------------------------------
+
+# the eight Gopher "must contain >= 2 of" stop words (Rae et al. 2021
+# App. A1.1), matched against the lowercase-alnum token set
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Gopher quality gate (Rae et al. 2021 arXiv:2112.11446
+    App. A1.1): the seven document-level rules, each as an all-integer
+    test so the oracle hash is exact — word count in
+    [``min_words``, ``max_words``]; mean word length in [3, 10]
+    (``3*n_words <= n_chars <= 10*n_words``); symbol-to-word ratio
+    ('#' chars + non-overlapping '...' + '…' occurrences) <= 0.1
+    (``10*n_symbols <= n_words``); <= 90% of lines bullet-initial
+    ('-', '*', '•'); <= 30% of lines ellipsis-terminal;
+    >= 80% of words containing an alphabetic character
+    (``5*n_alpha_words >= 4*n_words``); and >= 2 of the eight Gopher
+    stop words present. Words are whitespace tokens (symbols matter
+    here, unlike the alnum ``_words``); lines are trimmed non-empty.
+    Returns the integer counts, one boolean per rule, and the AND as
+    ``keep``.
+
+    Scale shape: every rule is a row-local expression over the text
+    column — whole-stage codegen, zero shuffle, free rider on whatever
+    scan already reads the text (and a narrow ReadSchema when it is the
+    only consumer). The repetition-rule half of Gopher's appendix lives
+    in :func:`repetition_stats` / :func:`repetition_filter`."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+    def occurrences(needle: str) -> F.Column:
+        gone = F.replace(text, F.lit(needle), F.lit(""))
+        return (F.length(text) - F.length(gone)) / F.lit(len(needle))
+
+    counted = docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("n_chars"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (occurrences("#") + occurrences("...") + occurrences("…"))
+        .cast("long")
+        .alias("n_symbols"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(l, F.lit("-"))
+                | F.startswith(l, F.lit("*"))
+                | F.startswith(l, F.lit("•")),
+            )
+        )
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(l, F.lit("..."))
+                | F.endswith(l, F.lit("…")),
+            )
+        )
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(_words(F.col(text_col))),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        )
+        .cast("long")
+        .alias("n_stopwords_present"),
+    )
+    rules = counted.select(
+        "*",
+        ((F.col("n_words") >= int(min_words)) & (F.col("n_words") <= int(max_words))).alias("r_word_count"),
+        (
+            (F.lit(3) * F.col("n_words") <= F.col("n_chars"))
+            & (F.col("n_chars") <= F.lit(10) * F.col("n_words"))
+        ).alias("r_mean_word_len"),
+        (F.lit(10) * F.col("n_symbols") <= F.col("n_words")).alias("r_symbol_ratio"),
+        (F.lit(10) * F.col("n_bullet_lines") <= F.lit(9) * F.col("n_lines")).alias("r_bullet"),
+        (F.lit(10) * F.col("n_ellipsis_lines") <= F.lit(3) * F.col("n_lines")).alias("r_ellipsis"),
+        (F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")).alias("r_alpha"),
+        (F.col("n_stopwords_present") >= 2).alias("r_stopwords"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("r_word_count")
+        & F.col("r_mean_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stopwords"),
+    )

@@ -1333,19 +1333,19 @@ def training_shards_sql(
     """
 
 
-def dup_substring_spans_sql(
-    n: int = 10, min_docs: int = 2, table: str = "documents",
-    id_col: str = "doc_id", text_col: str = "text",
+def _dup_span_ctes(
+    n: int, min_docs: int, table: str, id_col: str, text_col: str,
 ) -> str:
-    """Mirror of operators.corpus.dup_substring_spans: same tokenizer,
-    same space-joined n-grams hashed with the 56-bit md5 slice, same
-    >= min_docs distinct-document frequency test, same gaps-and-islands
-    interval merge (new island when the next duplicated start exceeds
-    the previous by more than n). All-integer output, so the value hash
-    pins the exact cut list."""
+    """Shared CTE chain for the exact-substring dedup oracles: tokenize
+    (same lowercase-alnum tokenizer), hash space-joined n-grams with the
+    56-bit md5 slice, keep grams in >= min_docs DISTINCT docs, and merge
+    overlapping-or-adjacent duplicated gram intervals per doc
+    (gaps-and-islands; new island when the next duplicated start exceeds
+    the previous by more than n). Ends at ``spans`` =
+    (id, island, span_start, span_end, n_grams)."""
     gh = md5_hash56_sql("array_to_string(w[p:p+" + str(int(n) - 1) + "], ' ')")
     return f"""
-        WITH w AS (
+        w AS (
             SELECT {id_col},
                    regexp_extract_all(lower(COALESCE({text_col}, '')),
                                       '[a-z0-9]+') AS w
@@ -1376,14 +1376,73 @@ def dup_substring_spans_sql(
                    SUM(nw) OVER (PARTITION BY {id_col} ORDER BY pos
                                  ROWS UNBOUNDED PRECEDING) AS island
             FROM fl
+        ),
+        spans AS (
+            SELECT {id_col}, island,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + {int(n) - 1} AS BIGINT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM isl GROUP BY {id_col}, island
+        )"""
+
+
+def dup_substring_spans_sql(
+    n: int = 10, min_docs: int = 2, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.corpus.dup_substring_spans: same tokenizer,
+    same space-joined n-grams hashed with the 56-bit md5 slice, same
+    >= min_docs distinct-document frequency test, same gaps-and-islands
+    interval merge (new island when the next duplicated start exceeds
+    the previous by more than n). All-integer output, so the value hash
+    pins the exact cut list."""
+    return f"""
+        WITH {_dup_span_ctes(n, min_docs, table, id_col, text_col)}
+        SELECT {id_col}, span_start, span_end,
+               CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens,
+               n_grams
+        FROM spans
+    """
+
+
+def apply_span_cuts_sql(
+    n: int = 10, min_docs: int = 2, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.corpus.apply_span_cuts: every token whose
+    0-based position falls inside a duplicated span (same CTE chain as
+    dup_substring_spans_sql) is removed; survivors rejoin space-separated
+    in original order. Docs without cuts — including empty docs — pass
+    through the left join with text_cut = the full token stream."""
+    return f"""
+        WITH {_dup_span_ctes(n, min_docs, table, id_col, text_col)},
+        toks AS (
+            SELECT {id_col},
+                   unnest([{{'pos': p - 1, 'tok': w[p]}}
+                           for p in generate_series(1, len(w))],
+                          recursive := true)
+            FROM w
+        ),
+        kept AS (
+            SELECT t.{id_col}, t.pos, t.tok
+            FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.{id_col} = t.{id_col}
+                  AND t.pos BETWEEN s.span_start AND s.span_end
+            )
+        ),
+        agg AS (
+            SELECT {id_col},
+                   string_agg(tok, ' ' ORDER BY pos) AS text_cut,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY {id_col}
         )
-        SELECT {id_col},
-               CAST(MIN(pos) AS BIGINT) AS span_start,
-               CAST(MAX(pos) + {int(n) - 1} AS BIGINT) AS span_end,
-               CAST(MAX(pos) + {int(n) - 1} - MIN(pos) + 1 AS BIGINT)
-                   AS span_tokens,
-               CAST(COUNT(*) AS BIGINT) AS n_grams
-        FROM isl GROUP BY {id_col}, island
+        SELECT w.{id_col},
+               COALESCE(agg.text_cut, '') AS text_cut,
+               CAST(len(w.w) AS BIGINT) AS n_tokens,
+               CAST(len(w.w) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+        FROM w LEFT JOIN agg USING ({id_col})
     """
 
 
@@ -1419,4 +1478,77 @@ def perplexity_buckets_sql(
                     WHEN cume * 3 <= total * 2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM c
+    """
+
+
+def gopher_rules_sql(
+    min_words: int = 50, max_words: int = 100_000, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.textprep.gopher_rules: whitespace-token words,
+    trimmed non-empty lines, the same non-overlapping replace-based
+    symbol counts, and the same all-integer rule tests, so booleans and
+    counts hash identically."""
+    stop = ", ".join(f"'{s}'" for s in
+                     ("the", "be", "to", "of", "and", "that", "have", "with"))
+    return f"""
+        WITH base AS (
+            SELECT {id_col},
+                   COALESCE({text_col}, '') AS t,
+                   list_filter(string_split_regex(COALESCE({text_col}, ''),
+                                                  '\\s+'),
+                               x -> x <> '') AS words,
+                   list_filter(list_transform(
+                                   string_split(COALESCE({text_col}, ''),
+                                                chr(10)),
+                                   x -> trim(x)),
+                               x -> x <> '') AS lines,
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS toks
+            FROM {table}
+        ),
+        counted AS (
+            SELECT {id_col},
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(COALESCE(list_aggregate(
+                            list_transform(words, x -> length(x)), 'sum'),
+                        0) AS BIGINT) AS n_chars,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST((length(t) - length(replace(t, '#', '')))
+                        + (length(t) - length(replace(t, '...', ''))) / 3
+                        + (length(t) - length(replace(t, '…', '')))
+                        AS BIGINT) AS n_symbols,
+                   CAST(len(list_filter(lines,
+                            l -> starts_with(l, '-') OR starts_with(l, '*')
+                                 OR starts_with(l, '•')))
+                        AS BIGINT) AS n_bullet_lines,
+                   CAST(len(list_filter(lines,
+                            l -> ends_with(l, '...') OR ends_with(l, '…')))
+                        AS BIGINT) AS n_ellipsis_lines,
+                   CAST(len(list_filter(words,
+                            x -> regexp_matches(x, '[A-Za-z]')))
+                        AS BIGINT) AS n_alpha_words,
+                   CAST(len(list_intersect(list_distinct(toks),
+                                           [{stop}]))
+                        AS BIGINT) AS n_stopwords_present
+            FROM base
+        ),
+        rules AS (
+            SELECT *,
+                   (n_words >= {int(min_words)} AND n_words <= {int(max_words)})
+                       AS r_word_count,
+                   (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+                       AS r_mean_word_len,
+                   (10 * n_symbols <= n_words) AS r_symbol_ratio,
+                   (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet,
+                   (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis,
+                   (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+                   (n_stopwords_present >= 2) AS r_stopwords
+            FROM counted
+        )
+        SELECT *,
+               (r_word_count AND r_mean_word_len AND r_symbol_ratio
+                AND r_bullet AND r_ellipsis AND r_alpha AND r_stopwords)
+                   AS keep
+        FROM rules
     """

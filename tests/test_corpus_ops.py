@@ -479,3 +479,83 @@ def test_dup_substring_spans_plan_no_broadcast_no_cartesian(spark):
         assert out == 30  # every doc is one maximal span of the shared text
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def _py_apply_cuts(rows, n, min_docs):
+    """Pure-Python mirror of apply_span_cuts over the span mirror."""
+    import re
+
+    spans = {}
+    for i, s, e, _tok, _g in _py_dup_spans(rows, n, min_docs):
+        spans.setdefault(i, []).append((s, e))
+    out = []
+    for i, t in rows:
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        cut = spans.get(i, [])
+        kept = [
+            w for p, w in enumerate(toks)
+            if not any(s <= p <= e for s, e in cut)
+        ]
+        out.append((i, " ".join(kept), len(toks), len(toks) - len(kept)))
+    return sorted(out)
+
+
+def test_apply_span_cuts_matches_python_mirror(spark):
+    """The cleaned token stream, total and removed counts all match the
+    pure-Python mirror — including docs with two disjoint cuts, docs
+    with no cuts (pass-through), short docs, and null text."""
+    from pyspider_spark.operators.corpus import apply_span_cuts
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"intro words here {shared} middle filler {shared} tail end pad"),
+        (1, f"{shared} unrelated suffix goes on and on"),
+        (2, "completely different text with no duplication at all indeed"),
+        (3, "tiny"),
+        (4, None),
+        (5, f"prefix {shared} and also completely different text with no"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, apply_span_cuts(docs, n=4, min_docs=2).collect()))
+    want = _py_apply_cuts(rows, n=4, min_docs=2)
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][3] > 0          # duplicated doc actually lost tokens
+    assert by_id[3] == (3, "tiny", 1, 0)  # untouched doc kept everything
+    assert by_id[4] == (4, "", 0, 0)  # null text -> empty stream
+
+
+def test_apply_span_cuts_every_doc_survives(spark):
+    """The output is one row per input doc — even a doc whose ENTIRE
+    token stream is duplicated comes back (empty text_cut), so the
+    operator composes with downstream joins without row loss."""
+    from pyspider_spark.operators.corpus import apply_span_cuts
+
+    dup = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in apply_span_cuts(docs, n=4, min_docs=2).collect()}
+    assert len(out) == 3
+    assert out[0]["text_cut"] == "" and out[0]["n_removed"] == 8
+    assert out[1]["text_cut"] == "" and out[1]["n_removed"] == 8
+    assert out[2]["n_removed"] == 0
+
+
+def test_apply_span_cuts_edit_is_rowlocal(spark):
+    """The edit never explodes tokens to rows: the only exchanges are the
+    span pipeline's (gram groupBy + doc-keyed joins); the token filter is
+    an expression. Guard: no Generate node downstream of the final join
+    (the span side's posexplode is upstream of the island merge)."""
+    from pyspider_spark.operators.corpus import apply_span_cuts
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = _plan(apply_span_cuts(docs, n=4, min_docs=2))
+    # the final projection computes text_cut via filter(...) lambda —
+    # visible as a higher-order filter over _w, not a Generate/explode
+    tail = plan.split("Generate")[-1]
+    assert "array_join" in tail  # rebuild happens AFTER the last explode

@@ -464,3 +464,65 @@ def test_perplexity_buckets_no_corpus_wide_language_window(spark):
     )[1].split("]", 1)[0]
     # the scored intermediate is persisted, not recomputed per branch
     assert "InMemoryTableScan" in plan
+
+
+# --- gopher_rules -------------------------------------------------------------
+
+
+def test_gopher_rules_planted(spark):
+    """Each rule trips on its planted violator and passes elsewhere."""
+    from pyspider_spark.operators.textprep import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and then have "
+            "to be of service with more plain words ") * 3  # ~60 words
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "too few words to count"),              # word count < 50
+        (2, "a " * 60 + "the of and that be"),      # mean word len < 3
+        (3, good + " ###### ##### #### ### ## #"),  # symbol ratio > 0.1 is NOT
+        (4, "- bullet\n- bullet\n- bullet"),         # 100% bullet lines
+        (5, good.replace("words ", "words... \n") ),  # many ellipsis lines
+        (6, ("1234 5678 " * 30) + "the of and"),     # alpha fraction < 0.8
+        (7, "zebra quartz " * 30),                   # no stopwords
+        (8, None),                                   # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(docs, min_words=50).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["r_word_count"] is False
+    assert out[2]["r_mean_word_len"] is False
+    assert out[4]["r_bullet"] is False and out[4]["n_bullet_lines"] == 3
+    assert out[5]["r_ellipsis"] is False
+    assert out[6]["r_alpha"] is False
+    assert out[7]["r_stopwords"] is False and out[7]["n_stopwords_present"] == 0
+    assert out[8]["n_words"] == 0 and out[8]["keep"] is False
+    # integer counts: whitespace words vs alnum stopword tokens
+    assert out[0]["n_words"] >= 50
+    assert out[0]["n_stopwords_present"] >= 2
+
+
+def test_gopher_rules_symbol_counting(spark):
+    """'#' chars, non-overlapping '...' runs, and '…' each count once,
+    and the ratio test is the exact integer form 10*symbols <= words."""
+    from pyspider_spark.operators.textprep import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(0, "plain words here ### and ... also … fin")],
+        "doc_id long, text string",
+    )
+    r = gopher_rules(docs, min_words=1).collect()[0]
+    assert r["n_symbols"] == 3 + 1 + 1
+    # 9 whitespace words ('###', '...', '…' are words too), 5 symbols
+    assert r["n_words"] == 9
+    assert r["r_symbol_ratio"] is False  # 50 > 9
+
+
+def test_gopher_rules_plan_is_rowlocal(spark):
+    """Zero exchanges: every rule is a row-local expression over the text
+    scan — the 100-TB free-rider shape the docstring claims."""
+    from pyspider_spark.operators.textprep import gopher_rules
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
