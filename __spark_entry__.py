@@ -466,6 +466,22 @@ def q_dedup_minhash(spark, sf):
     ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_incremental_minhash(spark, sf):
+    """Incremental fuzzy dedup: the 20% increment (md5(doc_id) % 5 == 0)
+    probes the 80% archive's LSH band table — the old corpus is never
+    self-joined or re-paired, so per-snapshot cost scales with the
+    increment, not the archive."""
+    from pyspider_spark.functions.portable_hash import md5_hash56
+    from pyspider_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _t(spark, sf, "documents")
+    is_new = (md5_hash56(F.col("doc_id").cast("string")) % 5) == 0
+    return incremental_minhash_pairs(
+        docs.where(is_new), docs.where(~is_new),
+        k=5, n_hashes=32, bands=8, rows=4, threshold=0.6,
+    )
+
+
 def q_dedup_cluster(spark, sf):
     """Near-dup clusters: minhash pairs → connected components
     (large-star/small-star, O(log n) rounds) → (doc, component-min).
@@ -1003,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "incremental_minhash": q_incremental_minhash,
         "dedup_cluster": q_dedup_cluster,
         "corpus_clean": q_corpus_clean,
         "pagerank": q_pagerank,
@@ -1077,6 +1094,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": oracles.minhash_pairs_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
+        ),
+        "incremental_minhash": oracles.incremental_minhash_sql(
+            k=5, n_hashes=32, bands=8, rows=4, threshold=0.6, split_mod=5
         ),
         "dedup_cluster": oracles.minhash_components_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6

@@ -65,6 +65,8 @@ HEADLINE = [
     # round 5 session 4: cut application + Gopher document rules
     "apply_span_cuts",
     "gopher_rules",
+    # round 5 session 4: incremental new-vs-archive fuzzy dedup
+    "incremental_minhash",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

@@ -507,3 +507,117 @@ def dedup_assign(
             "is_canonical"
         ),
     )
+
+
+def _band_explode(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, bh) from a signature table — the banding step of
+    lsh_candidate_pairs, factored so the incremental probe can band each
+    side independently."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            md5_hash56(
+                F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", F.col("bb").band.alias("band"), F.col("bb").bh.alias("bh")
+    )
+
+
+def minhash_archive_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, n_hashes: int = 32, bands: int = 8, rows: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands_df, sets_df): the materializable LSH index of a corpus
+    snapshot — ``bands`` = (doc, band, bh) for the bucket probe, ``sets``
+    = (doc, sh: array<long>, n_sh) for the exact-Jaccard verify. A
+    deployment writes BOTH to storage at snapshot time (parquet/Iceberg
+    partitioned by band) so the next increment probes the archive
+    without re-shingling it; ``incremental_minhash_pairs`` derives the
+    same rows inline for the self-contained form."""
+    sh = shingle_sets(docs, text_col, id_col, k).persist()
+    banded = _band_explode(minhash_signatures_from_sets(sh, n_hashes), bands, rows)
+    sets = sh.select(
+        "doc",
+        F.transform(F.col("shset"), lambda s: F.xxhash64(s)).alias("sh"),
+        F.size("shset").cast("long").alias("n_sh"),
+    )
+    return banded, sets
+
+
+def incremental_minhash_probe(
+    new_docs: DataFrame, archive_bands: DataFrame, archive_sets: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, n_hashes: int = 32, bands: int = 8, rows: int = 4,
+    threshold: float = 0.7, max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(doc_new, doc_old, jaccard): probe a NEW increment against a
+    prebuilt archive index (``minhash_archive_index`` rows — inline or
+    read back from storage). The archive is never self-joined or
+    re-shingled: the increment's bands inner-join the archive band table
+    (hot archive buckets size-guarded first), and the verify joins each
+    side's own per-row shingle-hash-set table, filtering on the
+    UNROUNDED Jaccard then rounding — the same order as
+    jaccard_verify_sets / the oracle, so borderline pairs agree."""
+    new_bands, new_sets = minhash_archive_index(
+        new_docs, text_col, id_col, k, n_hashes, bands, rows
+    )
+    ok_old = _guard_buckets(archive_bands, ["band", "bh"], max_bucket_size)
+    pairs = (
+        new_bands.select("band", "bh", F.col("doc").alias("doc_new"))
+        .join(ok_old.select("band", "bh", F.col("doc").alias("doc_old")),
+              ["band", "bh"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    a = new_sets.select(
+        F.col("doc").alias("doc_new"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = archive_sets.select(
+        F.col("doc").alias("doc_old"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    joined = pairs.join(a, "doc_new").join(b, "doc_old")
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
+    return (
+        joined.withColumn("_j", jac)
+        .where(F.col("_j") >= threshold)
+        .select("doc_new", "doc_old", F.round("_j", 4).alias("jaccard"))
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame, old_docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, n_hashes: int = 32, bands: int = 8, rows: int = 4,
+    threshold: float = 0.7, max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(doc_new, doc_old, jaccard): near-dups of a NEW crawl increment
+    against the EXISTING corpus — the dedup verb a continuously-crawling
+    pipeline actually runs per snapshot (new-vs-new pairs are the batch
+    ``minhash_dedup``'s job; GPT-3/RefinedWeb-style fuzzy dedup applied
+    incrementally). A doc present in both sides legitimately pairs with
+    itself at jaccard 1.0 — an unchanged recrawl.
+
+    Scale shape — the whole point vs re-running batch dedup over
+    old ∪ new: the OLD corpus is never self-joined and never re-paired;
+    its band table (in deployment the ``minhash_archive_index`` written
+    at the last snapshot — byte-identical rows, probe-from-storage
+    tested) is probed by an inner join from the increment's bands, so
+    per-snapshot cost is |new| × bands plus the bucket-overlap pairs,
+    not |old ∪ new|². The hot-bucket guard applies to the OLD side
+    (archive template buckets); the increment side is bounded by the
+    crawl wave. Verify joins each side's own per-row shingle-hash-set
+    table (no union, so overlapping id spaces are fine)."""
+    old_bands, old_sets = minhash_archive_index(
+        old_docs, text_col, id_col, k, n_hashes, bands, rows
+    )
+    return incremental_minhash_probe(
+        new_docs, old_bands, old_sets, text_col, id_col,
+        k, n_hashes, bands, rows, threshold, max_bucket_size,
+    )

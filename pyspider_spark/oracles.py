@@ -1552,3 +1552,92 @@ def gopher_rules_sql(
                    AS keep
         FROM rules
     """
+
+
+def incremental_minhash_sql(
+    k: int, n_hashes: int, bands: int, rows: int, threshold: float,
+    max_bucket_size: int = 1000, split_mod: int = 5,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.dedup.incremental_minhash_pairs with the
+    driver's deterministic increment split (md5-slice of the stringified
+    id mod ``split_mod`` == 0 -> NEW): same shingles, same universal-hash
+    signatures, same banding, hot-bucket guard on the OLD side only, and
+    the same unrounded-filter-then-round Jaccard verify."""
+    from pyspider_spark.operators.dedup import MERSENNE31, minhash_coeffs
+
+    base_h = f"({md5_hash56_sql('shingle')} % {MERSENNE31})"
+    mins = ",\n                   ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc, is_new, {b} AS band, {bh} AS bh FROM sig".format(
+            b=b,
+            bh=md5_hash56_sql(
+                " || '|' || ".join(
+                    f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    is_new = f"(({md5_hash56_sql(f'CAST({id_col} AS VARCHAR)')}) % {split_mod}) = 0"
+    return f"""
+        WITH docs AS (
+            SELECT {id_col} AS doc,
+                   regexp_replace(lower({text_col}), '\\s+', ' ', 'g') AS t,
+                   {is_new} AS is_new
+            FROM {table}
+        ),
+        sh AS (
+            SELECT DISTINCT doc, is_new,
+                   substr(t, CAST(pos AS INTEGER), {k}) AS shingle
+            FROM (SELECT doc, is_new, t,
+                         unnest(range(1, greatest(length(t) - {k - 1}, 1) + 1)) AS pos
+                  FROM docs)
+        ),
+        sig AS (
+            SELECT doc, is_new, {mins}
+            FROM (SELECT doc, is_new, {base_h} AS h FROM sh)
+            GROUP BY doc, is_new
+        ),
+        banded AS (
+            {band_selects}
+        ),
+        sized AS (
+            SELECT band, bh, COUNT(*) AS n FROM banded
+            WHERE NOT is_new GROUP BY 1, 2
+        ),
+        ok_old AS (
+            SELECT b.doc, b.band, b.bh FROM banded b
+            JOIN sized s ON b.band = s.band AND b.bh = s.bh
+            WHERE NOT b.is_new AND s.n <= {max_bucket_size}
+        ),
+        raw_pairs AS (
+            SELECT DISTINCT n.doc AS doc_new, o.doc AS doc_old
+            FROM (SELECT doc, band, bh FROM banded WHERE is_new) n
+            JOIN ok_old o ON n.band = o.band AND n.bh = o.bh
+        ),
+        sizes AS (
+            SELECT doc, is_new, COUNT(*) AS n_sh FROM sh GROUP BY doc, is_new
+        ),
+        inter AS (
+            SELECT p.doc_new, p.doc_old, COUNT(*) AS n_inter
+            FROM raw_pairs p
+            JOIN sh sa ON sa.doc = p.doc_new AND sa.is_new
+            JOIN sh sb ON sb.doc = p.doc_old AND NOT sb.is_new
+                      AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT i.doc_new, i.doc_old,
+                   CAST(i.n_inter AS DOUBLE)
+                       / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc = i.doc_new AND za.is_new
+            JOIN sizes zb ON zb.doc = i.doc_old AND NOT zb.is_new
+        )
+        SELECT doc_new, doc_old, ROUND(jaccard, 4) AS jaccard
+        FROM j WHERE jaccard >= {threshold}
+    """

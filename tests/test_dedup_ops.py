@@ -145,3 +145,107 @@ def test_estimate_prefilter_preserves_results(spark):
                                  threshold=0.6, est_margin=0.25).collect())
     )
     assert base == pref and len(base) > 0
+
+
+# --- incremental (new-vs-archive) minhash dedup --------------------------------
+
+
+def _inc_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows_old = [
+        (0, base),
+        (1, base.replace("today", "tonight")),     # near-dup of 0
+        (2, "entirely different archive content with nothing shared at all"),
+    ]
+    rows_new = [
+        (10, base),                                 # near-dup of old 0 and 1
+        (11, "fresh unrelated increment text that matches no archive doc"),
+        (12, base),                                 # also dups old 0 — and new 10
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(rows_new), mk(rows_old)
+
+
+def test_incremental_minhash_semantics(spark):
+    """New docs pair against the archive only: new-new duplicates (10,12)
+    never appear, archive-archive duplicates (0,1) never appear, and an
+    exact recrawl pairs at jaccard 1.0."""
+    from pyspider_spark.operators.dedup import incremental_minhash_pairs
+
+    new_docs, old_docs = _inc_docs(spark)
+    got = {
+        (r["doc_new"], r["doc_old"]): r["jaccard"]
+        for r in incremental_minhash_pairs(
+            new_docs, old_docs, k=5, n_hashes=32, bands=8, rows=4, threshold=0.5
+        ).collect()
+    }
+    assert (10, 0) in got and got[(10, 0)] == 1.0   # exact recrawl
+    assert (12, 0) in got
+    assert all(n in (10, 11, 12) and o in (0, 1, 2) for n, o in got)
+    assert (10, 12) not in got and (12, 10) not in got  # new-new excluded
+    assert 11 not in {n for n, _ in got}            # unrelated stays unpaired
+
+
+def test_incremental_minhash_archive_never_self_joins(spark):
+    """THE incremental contract: the archive's band table appears exactly
+    once per join side pair — there is no old-x-old bucket self-join in
+    the plan (count the band-table scans feeding joins: 2 sides total for
+    the pair join, not 3+)."""
+    from pyspider_spark.operators.dedup import incremental_minhash_pairs
+
+    new_docs, old_docs = _inc_docs(spark)
+    out = incremental_minhash_pairs(new_docs, old_docs, threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the batch pipeline's self-join signature is a doc_a < doc_b filter;
+    # the incremental plan must not contain one
+    assert "doc_a" not in plan
+    got = out.count()
+    assert got >= 2  # and it still finds the planted cross pairs
+
+
+def test_incremental_minhash_hot_archive_bucket_guarded(spark):
+    """An archive bucket larger than max_bucket_size drops before the
+    probe join (template pages in the archive can't quadratically explode
+    an increment probe)."""
+    from pyspider_spark.operators.dedup import incremental_minhash_pairs
+
+    boiler = "identical template page body repeated across the whole archive"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(20)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    hits = incremental_minhash_pairs(
+        new, old, threshold=0.5, max_bucket_size=10
+    ).count()
+    assert hits == 0  # every archive bucket for the template exceeds 10
+
+
+def test_incremental_minhash_probe_from_storage(spark, tmp_path):
+    """The deployment path: materialize the archive index
+    (minhash_archive_index) to parquet at snapshot time, read it back,
+    probe the increment against the STORED rows — identical output to
+    the self-contained incremental_minhash_pairs."""
+    from pyspider_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        incremental_minhash_probe,
+        minhash_archive_index,
+    )
+
+    new_docs, old_docs = _inc_docs(spark)
+    direct = sorted(
+        map(tuple, incremental_minhash_pairs(
+            new_docs, old_docs, threshold=0.5
+        ).collect())
+    )
+    bands_df, sets_df = minhash_archive_index(old_docs)
+    bands_df.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    sets_df.write.mode("overwrite").parquet(str(tmp_path / "sets"))
+    stored = sorted(
+        map(tuple, incremental_minhash_probe(
+            new_docs,
+            spark.read.parquet(str(tmp_path / "bands")),
+            spark.read.parquet(str(tmp_path / "sets")),
+            threshold=0.5,
+        ).collect())
+    )
+    assert stored == direct and len(direct) >= 2
