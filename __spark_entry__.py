@@ -659,6 +659,16 @@ def q_gopher_rules(spark, sf):
     return gopher_rules(_t(spark, sf, "documents"))
 
 
+def q_domain_curation(spark, sf):
+    """Domain-level curation (RefinedWeb/C4-style source gating): per-doc
+    Gopher stats + exact fingerprints ride one row-local pass (no
+    doc-keyed join), then one map-side-combined groupBy on the domain
+    key; keep tests are all-integer."""
+    from pyspider_spark.operators.textprep import domain_curation
+
+    return domain_curation(_t(spark, sf, "documents"), min_docs=5)
+
+
 def q_mixture_weights(spark, sf):
     """Per-language resampling weights to hit a target mixture (target
     share / observed share) + the capped Bernoulli keep-rate."""
@@ -1035,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_span_cuts": q_apply_span_cuts,
         "perplexity_buckets": q_perplexity_buckets,
         "gopher_rules": q_gopher_rules,
+        "domain_curation": q_domain_curation,
         "mixture_weights": q_mixture_weights,
         "rebalance_mix": q_rebalance,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1123,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_span_cuts": oracles.apply_span_cuts_sql(n=10, min_docs=2),
         "perplexity_buckets": oracles.perplexity_buckets_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "domain_curation": oracles.domain_curation_sql(min_docs=5),
         "mixture_weights": oracles.mixture_weights_sql(_MIX_TARGETS),
         "rebalance_mix": oracles.rebalance_sql(_MIX_TARGETS),
         "dedup_paragraphs": oracles.dedup_paragraphs_sql(

@@ -67,6 +67,8 @@ HEADLINE = [
     "gopher_rules",
     # round 5 session 4: incremental new-vs-archive fuzzy dedup
     "incremental_minhash",
+    # round 5 session 4: domain-level source gating
+    "domain_curation",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

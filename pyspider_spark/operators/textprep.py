@@ -603,6 +603,7 @@ def gopher_rules(
     max_words: int = 100_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document Gopher quality gate (Rae et al. 2021 arXiv:2112.11446
     App. A1.1): the seven document-level rules, each as an all-integer
@@ -637,6 +638,7 @@ def gopher_rules(
 
     counted = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(words).cast("long").alias("n_words"),
         F.aggregate(
             words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
@@ -698,4 +700,54 @@ def gopher_rules(
         & F.col("r_ellipsis")
         & F.col("r_alpha")
         & F.col("r_stopwords"),
+    )
+
+
+def domain_curation(
+    docs: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, n_gopher_keep, n_distinct_fp,
+    keep_domain): domain-level corpus curation — the RefinedWeb/C4 move
+    of gating whole SOURCES by their aggregate quality instead of (only)
+    per-document rules. Per domain: document count, total whitespace
+    tokens, documents passing :func:`gopher_rules`, and distinct exact
+    fingerprints (internal-duplication signal). ``keep_domain`` is the
+    all-integer gate: at least ``min_docs`` documents, >= 50% passing
+    Gopher (``2*n_gopher_keep >= n_docs``), and <= 10% internal exact
+    duplication (``10*n_distinct_fp >= 9*n_docs``).
+
+    Scale shape: the per-doc stats ride the same row-local single pass
+    as ``gopher_rules`` (fingerprint + domain are pass-through columns —
+    no doc-keyed join anywhere), then ONE map-side-combined groupBy on
+    the domain key. Giant domains skew the reduce, but every aggregate
+    here partial-aggregates (count/sum, and count_distinct partial-
+    dedupes per partition), so a hot domain costs its reducer one merge
+    pass, never a sort. Output is |domains| rows — the keep list
+    broadcasts back into whatever scan consumes it."""
+    from pyspider_spark.functions.text import fingerprint
+
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.coalesce(F.col(domain_col), F.lit("")).alias("_domain"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    g = gopher_rules(
+        staged, id_col=id_col, text_col=text_col, keep_cols=("_domain", "_fp")
+    )
+    agg = g.groupBy(F.col("_domain").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_gopher_keep"),
+        F.countDistinct("_fp").cast("long").alias("n_distinct_fp"),
+    )
+    return agg.withColumn(
+        "keep_domain",
+        (F.col("n_docs") >= int(min_docs))
+        & (F.lit(2) * F.col("n_gopher_keep") >= F.col("n_docs"))
+        & (F.lit(10) * F.col("n_distinct_fp") >= F.lit(9) * F.col("n_docs")),
     )

@@ -1484,6 +1484,7 @@ def perplexity_buckets_sql(
 def gopher_rules_sql(
     min_words: int = 50, max_words: int = 100_000, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> str:
     """Mirror of operators.textprep.gopher_rules: whitespace-token words,
     trimmed non-empty lines, the same non-overlapping replace-based
@@ -1491,9 +1492,10 @@ def gopher_rules_sql(
     counts hash identically."""
     stop = ", ".join(f"'{s}'" for s in
                      ("the", "be", "to", "of", "and", "that", "have", "with"))
+    kc = "".join(f"{c}, " for c in keep_cols)
     return f"""
         WITH base AS (
-            SELECT {id_col},
+            SELECT {id_col}, {kc}
                    COALESCE({text_col}, '') AS t,
                    list_filter(string_split_regex(COALESCE({text_col}, ''),
                                                   '\\s+'),
@@ -1508,7 +1510,7 @@ def gopher_rules_sql(
             FROM {table}
         ),
         counted AS (
-            SELECT {id_col},
+            SELECT {id_col}, {kc}
                    CAST(len(words) AS BIGINT) AS n_words,
                    CAST(COALESCE(list_aggregate(
                             list_transform(words, x -> length(x)), 'sum'),
@@ -1640,4 +1642,37 @@ def incremental_minhash_sql(
         )
         SELECT doc_new, doc_old, ROUND(jaccard, 4) AS jaccard
         FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def domain_curation_sql(
+    min_docs: int = 5, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text", domain_col: str = "source",
+) -> str:
+    """Mirror of operators.textprep.domain_curation: the per-doc Gopher
+    gate (gopher_rules_sql with pass-through domain + fingerprint
+    columns) aggregated per domain with the same all-integer keep tests.
+    The fingerprint expression matches the dedup_exact oracle."""
+    staged = (
+        f"(SELECT {id_col}, {text_col}, "
+        f"COALESCE({domain_col}, '') AS _domain, "
+        f"md5(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')) AS _fp "
+        f"FROM {table}) staged"
+    )
+    g = gopher_rules_sql(
+        table=staged, id_col=id_col, text_col=text_col,
+        keep_cols=("_domain", "_fp"),
+    )
+    return f"""
+        WITH g AS ({g})
+        SELECT _domain AS domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gopher_keep,
+               CAST(COUNT(DISTINCT _fp) AS BIGINT) AS n_distinct_fp,
+               (COUNT(*) >= {int(min_docs)}
+                AND 2 * SUM(CASE WHEN keep THEN 1 ELSE 0 END) >= COUNT(*)
+                AND 10 * COUNT(DISTINCT _fp) >= 9 * COUNT(*)) AS keep_domain
+        FROM g GROUP BY _domain
     """

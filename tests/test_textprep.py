@@ -526,3 +526,56 @@ def test_gopher_rules_plan_is_rowlocal(spark):
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# --- domain_curation -----------------------------------------------------------
+
+
+def test_domain_curation_planted(spark):
+    """Each domain gate trips on its planted violator: quality (most docs
+    fail Gopher), internal duplication (>10% exact dups), and size
+    (< min_docs)."""
+    from pyspider_spark.operators.textprep import domain_curation
+
+    good = ("the quick brown fox jumps over that lazy dog and then have "
+            "to be of service with more plain words ") * 3
+    rows = (
+        [(i, good + f" unique tail {i}", "good.example") for i in range(6)]
+        + [(10 + i, "too short", "lowq.example") for i in range(6)]
+        + [(20 + i, good, "dups.example") for i in range(6)]   # 6 identical
+        + [(30, good, "tiny.example")]                          # below min_docs
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["domain"]: r for r in domain_curation(docs, min_docs=5).collect()}
+    assert out["good.example"]["keep_domain"] is True
+    assert out["good.example"]["n_gopher_keep"] == 6
+    assert out["good.example"]["n_distinct_fp"] == 6
+    assert out["lowq.example"]["keep_domain"] is False   # 0/6 pass Gopher
+    assert out["lowq.example"]["n_gopher_keep"] == 0
+    assert out["dups.example"]["keep_domain"] is False   # 1 distinct fp of 6
+    assert out["dups.example"]["n_distinct_fp"] == 1
+    assert out["tiny.example"]["keep_domain"] is False   # n_docs < 5
+    assert out["tiny.example"]["n_docs"] == 1
+
+
+def test_domain_curation_null_domain_buckets_to_empty(spark):
+    from pyspider_spark.operators.textprep import domain_curation
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", None), (1, "d e f", None)],
+        "doc_id long, text string, source string",
+    )
+    out = domain_curation(docs, min_docs=1).collect()
+    assert len(out) == 1 and out[0]["domain"] == "" and out[0]["n_docs"] == 2
+
+
+def test_domain_curation_plan_single_agg_no_join(spark):
+    """The per-doc stats ride one row-local pass: the executed plan has
+    aggregation exchanges only (domain key), never a doc-keyed Join."""
+    from pyspider_spark.operators.textprep import domain_curation
+
+    docs = spark.createDataFrame(
+        [(0, "x", "s")], "doc_id long, text string, source string"
+    )
+    plan = domain_curation(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
