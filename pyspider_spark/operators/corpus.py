@@ -583,7 +583,13 @@ def dup_substring_spans(
         "doc",
         F.transform(_word_ngrams("w", n), lambda g: md5_hash56(g)).alias("ghs"),
     )
-    pos = per_doc.select("doc", F.posexplode("ghs").alias("pos", "gh"))
+    # persisted: the exploded gram table feeds BOTH the doc-frequency
+    # branch and the hit join — without the cache the tokenize + md5 of
+    # every gram runs twice (measured 1.75x at sf0.1, interleaved A/B).
+    # The cached rows are thin (doc, pos, 8-byte gh); at corpus scale the
+    # default MEMORY_AND_DISK level spills partition-local, still cheaper
+    # than re-hashing the corpus.
+    pos = per_doc.select("doc", F.posexplode("ghs").alias("pos", "gh")).persist()
     dup = (
         pos.select("doc", "gh")
         .distinct()
