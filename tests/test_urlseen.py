@@ -82,17 +82,24 @@ def test_hex_parse_vectorized_equivalent_and_faster():
     u1, u2 = _hashes(up)
     assert (u1 == r1).all() and (u2 == r2).all()
 
-    # micro-bench (min-of-5 each: a loaded box once measured min-of-3 at
-    # 4.9x purely from scheduler noise; the idle-box ratio is ~20x+)
-    t_fast = min(
-        (lambda t0=time.perf_counter(): (_hashes(ids), time.perf_counter() - t0)[1])()
-        for _ in range(5)
-    )
-    t_slow = min(
-        (lambda t0=time.perf_counter(): (_hashes_scalar(ids), time.perf_counter() - t0)[1])()
-        for _ in range(5)
-    )
-    assert t_slow / t_fast >= 5, f"speedup {t_slow / t_fast:.1f}x"
+    # micro-bench. The idle-box ratio is ~20x+, but this box's scheduler
+    # noise under a concurrently-running Spark suite once pushed even a
+    # min-of-5 below 5x, so the gate retries the WHOLE timing block: any
+    # one clean attempt >= 5x passes (a real regression fails all three).
+    ratios = []
+    for _ in range(3):
+        t_fast = min(
+            (lambda t0=time.perf_counter(): (_hashes(ids), time.perf_counter() - t0)[1])()
+            for _ in range(5)
+        )
+        t_slow = min(
+            (lambda t0=time.perf_counter(): (_hashes_scalar(ids), time.perf_counter() - t0)[1])()
+            for _ in range(5)
+        )
+        ratios.append(t_slow / t_fast)
+        if ratios[-1] >= 5:
+            break
+    assert max(ratios) >= 5, f"speedups {[f'{r:.1f}x' for r in ratios]}"
 
 
 # --- cuckoo variant (north rule: "bloom/cuckoo"; delete-capable) ------------
