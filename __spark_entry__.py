@@ -809,6 +809,16 @@ def q_dsir_topk_select(spark, sf):
     return dsir_topk_select(_t(spark, sf, "documents"), k=100)
 
 
+def q_dsir_quantile_select(spark, sf):
+    """DSIR corpus-fraction selection: keep the top 1/4 of documents by
+    per-token importance weight via a ties-inclusive histogram-CDF
+    threshold (exact integer ratio, no float quantile, no global sort —
+    the scan-shaped 100-TB alternative to dsir_topk_select)."""
+    from pyspider_spark.operators.textprep import dsir_quantile_select
+
+    return dsir_quantile_select(_t(spark, sf, "documents"), keep_num=1, keep_den=4)
+
+
 def q_quality_classifier(spark, sf):
     """fastText-style hashed linear quality classifier (Joulin et al.
     2016): unigram + adjacent-bigram features hash into 256 integer
@@ -1054,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "dsir_logratio": q_dsir_logratio,
         "dsir_topk_select": q_dsir_topk_select,
+        "dsir_quantile_select": q_dsir_quantile_select,
         "quality_classifier": q_quality_classifier,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1157,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "dsir_logratio": oracles.dsir_logratio_sql(),
         "dsir_topk_select": oracles.dsir_topk_select_sql(k=100),
+        "dsir_quantile_select": oracles.dsir_quantile_select_sql(keep_num=1, keep_den=4),
         "quality_classifier": oracles.quality_classifier_sql(),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5

@@ -421,6 +421,66 @@ def dsir_topk_select(
     return w.orderBy(F.col("avg_dsir_micro").desc(), F.col(id_col).asc()).limit(k)
 
 
+def dsir_quantile_select(
+    docs: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+) -> DataFrame:
+    """The corpus-FRACTION selection step of the DSIR pipeline: keep the
+    documents whose per-token importance weight (``avg_dsir_micro`` from
+    :func:`dsir_logratio`) reaches the top ``keep_num/keep_den`` of the
+    corpus — the 100-TB-posture alternative to :func:`dsir_topk_select`
+    that its docstring routes fraction-sized budgets to. The fraction is
+    an integer RATIO (e.g. 1/4), never a float, so every comparison is
+    exact integer arithmetic and the kept SET is engine-exact.
+
+    Threshold rule (ties-inclusive, the ``perplexity_buckets``
+    construction): the threshold T is the LOWEST score whose
+    ties-inclusive cumulative count ``cume`` (# docs scoring >= that
+    score) satisfies ``cume * keep_den >= total * keep_num`` — i.e. the
+    first score, descending, at which the kept prefix covers the budget
+    ``ceil(total * keep_num / keep_den)``. Every doc with score >= T is
+    kept, so tied scores always share a fate and the kept count may
+    exceed the budget by the tie group only.
+
+    Scale shape: no global sort and no top-k heap anywhere. The score
+    CDF is a HISTOGRAM — groupBy(score), map-side combined, output
+    bounded by distinct integer scores, not corpus rows — the only
+    Window runs over those histogram rows, and the 1-row threshold
+    broadcasts back into the corpus scan as a plain ``>=`` predicate
+    (plan-tested: no TakeOrderedAndProject, exactly one Window, fed by
+    the aggregate). At 100 TB the selection is therefore scan-shaped:
+    one pass to score, one histogram exchange, one filtered pass."""
+    from pyspark.sql import Window
+
+    if not (0 < keep_num <= keep_den):
+        raise ValueError("keep_num/keep_den must be a fraction in (0, 1]")
+    # persisted: the scored frame feeds both the histogram branch and the
+    # final filter — without the cache the whole dsir_logratio subtree
+    # (token explode + two-model frequency join) runs twice.
+    w = dsir_logratio(docs, id_col, text_col, target_col, target_value).persist()
+    hist = w.groupBy("avg_dsir_micro").agg(F.count(F.lit(1)).alias("cnt"))
+    wd = Window.orderBy(F.col("avg_dsir_micro").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cume", F.sum("cnt").over(wd))
+    tot = hist.agg(F.sum("cnt").alias("total"))
+    thr = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("cume") * keep_den >= F.col("total") * keep_num)
+        .agg(F.max("avg_dsir_micro").alias("thr"))
+    )
+    return (
+        w.join(F.broadcast(thr))
+        .filter(F.col("avg_dsir_micro") >= F.col("thr"))
+        .drop("thr")
+    )
+
+
 # --- fastText-style hashed linear quality classifier ------------------------
 
 

@@ -1193,6 +1193,40 @@ def dsir_topk_select_sql(k: int = 100, table: str = "documents",
     """
 
 
+def dsir_quantile_select_sql(keep_num: int = 1, keep_den: int = 4,
+                             table: str = "documents",
+                             id_col: str = "doc_id", text_col: str = "text",
+                             target_col: str = "lang",
+                             target_value: str = "en") -> str:
+    """Mirror of operators.textprep.dsir_quantile_select: ties-inclusive
+    histogram-CDF threshold — the LOWEST score whose cumulative count
+    covers ceil(total * keep_num / keep_den), then a plain >= filter.
+    All comparisons are integer (the fraction is a ratio, never a
+    float), so the kept set is engine-exact."""
+    inner = dsir_logratio_sql(table, id_col, text_col, target_col, target_value)
+    return f"""
+        WITH base AS ({inner}),
+        h AS (
+            SELECT avg_dsir_micro, COUNT(*) AS cnt
+            FROM base GROUP BY avg_dsir_micro
+        ),
+        cdf AS (
+            SELECT avg_dsir_micro,
+                   SUM(cnt) OVER (ORDER BY avg_dsir_micro DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cume
+            FROM h
+        ),
+        tt AS (SELECT SUM(cnt) AS total FROM h),
+        thr AS (
+            SELECT MAX(avg_dsir_micro) AS thr
+            FROM cdf CROSS JOIN tt
+            WHERE cume * {keep_den} >= total * {keep_num}
+        )
+        SELECT base.* FROM base CROSS JOIN thr
+        WHERE avg_dsir_micro >= thr
+    """
+
+
 def semdedup_sql(
     dims: int, threshold: float = 0.95,
     n_clusters: int = 16, seed: int = 42,

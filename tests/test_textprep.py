@@ -287,6 +287,75 @@ def test_dsir_topk_select_deterministic_and_heap_shaped(spark):
     )
 
 
+def _py_quantile_keep(weights, keep_num, keep_den):
+    """Pure-Python mirror of dsir_quantile_select's threshold rule:
+    lowest score whose ties-inclusive cumulative count covers
+    ceil(total * keep_num / keep_den); keep everything >= it."""
+    total = len(weights)
+    cume = 0
+    thr = None
+    for score in sorted(set(weights.values()), reverse=True):
+        cume += sum(1 for w in weights.values() if w == score)
+        if cume * keep_den >= total * keep_num:
+            thr = score
+            break
+    return {d for d, w in weights.items() if w >= thr}
+
+
+def test_dsir_quantile_select_matches_mirror_and_is_scan_shaped(spark):
+    """Kept set matches the ties-inclusive histogram threshold mirror;
+    the plan has NO TakeOrderedAndProject / global corpus sort — the one
+    Window runs over the score histogram aggregate only."""
+    from pyspider_spark.operators.textprep import dsir_logratio, dsir_quantile_select
+
+    rows = [
+        (i, "en" if i % 3 else "de",
+         ("tok%d " % (i % 7)) * (i % 5 + 1) + "shared filler words")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = dsir_quantile_select(docs, keep_num=1, keep_den=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert plan.count("Window ") == 1  # histogram CDF only, never corpus rows
+
+    weights = {r["doc_id"]: r["avg_dsir_micro"] for r in dsir_logratio(docs).collect()}
+    want = _py_quantile_keep(weights, 1, 4)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == want
+    # budget covered, overshoot only by the boundary tie group
+    assert len(got) >= -(-len(weights) // 4)
+    boundary = min(weights[d] for d in got)
+    assert len(got) - sum(1 for d in got if weights[d] == boundary) < -(-len(weights) // 4)
+
+
+def test_dsir_quantile_select_ties_share_fate_and_partition_invariant(spark):
+    """Docs with identical texts (identical weights) at the threshold
+    are kept or dropped TOGETHER even when the budget lands mid-group,
+    and the kept set is invariant to input partitioning."""
+    from pyspider_spark.operators.textprep import dsir_quantile_select
+
+    # 2 high-weight docs, then 6 identical mid-weight docs, 4 low: a
+    # 1/4 budget (3 of 12) lands inside the tie group of 6.
+    rows = (
+        [(i, "en", "alpha beta gamma") for i in range(2)]
+        + [(10 + i, "en", "shared middling text here") for i in range(6)]
+        + [(100 + i, "de", "nur deutsche woerter hier drin") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = {r["doc_id"] for r in dsir_quantile_select(docs, 1, 4).collect()}
+    mids = {10 + i for i in range(6)}
+    assert kept & mids in (set(), mids)  # never a partial tie group
+    a = {r["doc_id"] for r in dsir_quantile_select(docs.coalesce(1), 1, 4).collect()}
+    b = {r["doc_id"] for r in dsir_quantile_select(docs.repartition(16), 1, 4).collect()}
+    assert a == b == kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_quantile_select(docs, 3, 2)
+
+
 # --- fastText-style hashed linear classifier ---------------------------------
 
 
