@@ -819,6 +819,16 @@ def q_dsir_quantile_select(spark, sf):
     return dsir_quantile_select(_t(spark, sf, "documents"), keep_num=1, keep_den=4)
 
 
+def q_bm25_topk(spark, sf):
+    """BM25 corpus retrieval (Robertson & Zaragoza 2009, Lucene idf
+    variant): top 25 documents for the query {hash, join, vector}, with
+    per-(doc, term) scores quantized to integer micro-units before the
+    per-doc sum so the value hash compares exact int64s."""
+    from pyspider_spark.operators.textprep import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), ["hash", "join", "vector"], k=25)
+
+
 def q_quality_classifier(spark, sf):
     """fastText-style hashed linear quality classifier (Joulin et al.
     2016): unigram + adjacent-bigram features hash into 256 integer
@@ -1065,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logratio": q_dsir_logratio,
         "dsir_topk_select": q_dsir_topk_select,
         "dsir_quantile_select": q_dsir_quantile_select,
+        "bm25_topk": q_bm25_topk,
         "quality_classifier": q_quality_classifier,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1169,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logratio": oracles.dsir_logratio_sql(),
         "dsir_topk_select": oracles.dsir_topk_select_sql(k=100),
         "dsir_quantile_select": oracles.dsir_quantile_select_sql(keep_num=1, keep_den=4),
+        "bm25_topk": oracles.bm25_topk_sql(["hash", "join", "vector"], k=25),
         "quality_classifier": oracles.quality_classifier_sql(),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5

@@ -481,6 +481,87 @@ def dsir_quantile_select(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bm25_micro, n_terms): the k documents best matching a
+    bag-of-words query under BM25 (Robertson & Zaragoza 2009, the
+    Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf
+    variant) — the corpus-retrieval verb a training-data pipeline uses
+    to pull topical subsets ("find the docs about X") next to the
+    model-based DSIR weighting. ``n_terms`` = how many distinct query
+    terms the doc matched.
+
+    Exactness: the per-(doc, term) score quantizes to integer
+    micro-units — ``floor(idf * tfnorm * 1e6)`` — BEFORE the per-doc
+    sum (the ``unigram_logprob`` construction), and both engines
+    evaluate the same double expression from the same exact integers
+    (tf, df, dl, N, total_tokens), so the value-hash gate compares
+    exact int64 sums. Ranking ties break by ``id_col`` ascending: the
+    returned SET is engine-exact.
+
+    Scale shape: the query-term IN filter lands directly on the
+    exploded token stream, so everything past the scan is
+    |matching (doc, term) rows| — corpus rows with no query term never
+    leave their input task. Per-term df and the (N, total_tokens)
+    corpus constants are |terms|-row / 1-row aggregates that broadcast
+    back; doc length is a row-local ``size()`` at scan time (no
+    corpus-wide length join). The final top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heap, no global sort) —
+    plan-tested. Zero Python anywhere."""
+    if not terms:
+        raise ValueError("terms must be a non-empty list of query words")
+    terms = sorted({t.lower() for t in terms})
+    base = docs.select(
+        F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("w")
+    )
+    consts = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size("w")).cast("double").alias("total_tokens"),
+    )
+    hits = base.select(
+        "doc", F.size("w").alias("dl"), F.explode("w").alias("tok")
+    ).filter(F.col("tok").isin(terms))
+    tf = hits.groupBy("doc", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") / (F.col("total_tokens") / F.col("n_docs"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(consts))
+        .groupBy("doc")
+        .agg(
+            F.sum(F.floor(idf * tfnorm * F.lit(1e6)).cast("long"))
+            .cast("long")
+            .alias("bm25_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        scored.select(F.col("doc").alias(id_col), "bm25_micro", "n_terms")
+        .orderBy(F.col("bm25_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 # --- fastText-style hashed linear quality classifier ------------------------
 
 

@@ -1227,6 +1227,57 @@ def dsir_quantile_select_sql(keep_num: int = 1, keep_den: int = 4,
     """
 
 
+def bm25_topk_sql(terms: list[str], k: int = 20, k1: float = 1.2,
+                  b: float = 0.75, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirror of operators.textprep.bm25_topk: Lucene-variant BM25 with
+    the per-(doc, term) score quantized to integer micro-units BEFORE
+    the per-doc sum. Every double input (tf, df, dl, N, total_tokens)
+    is exact, the float literals (k1, b and their Python-derived
+    combinations) round-trip identically through repr, and the
+    arithmetic is written in the same association order as the Spark
+    expression — so the int64 sums hash-match exactly."""
+    terms = sorted({t.lower() for t in terms})
+    in_list = ", ".join("'%s'" % t for t in terms)
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(len(w)) AS DOUBLE) AS total_tokens
+            FROM w
+        ),
+        hits AS (
+            SELECT {id_col}, len(w) AS dl, unnest(w) AS tok FROM w
+        ),
+        tf AS (
+            SELECT {id_col}, tok, COUNT(*) AS tf, FIRST(dl) AS dl
+            FROM hits WHERE tok IN ({in_list})
+            GROUP BY {id_col}, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        s AS (
+            SELECT {id_col},
+                   CAST(SUM(CAST(FLOOR(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * ((tf * {k1 + 1.0}) /
+                          (tf + {k1} * ({1.0 - b} + {b} * dl
+                                        / (total_tokens / n_docs))))
+                       * 1e6) AS BIGINT)) AS BIGINT) AS bm25_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM tf JOIN df USING (tok) CROSS JOIN c
+            GROUP BY {id_col}
+        )
+        SELECT * FROM s
+        ORDER BY bm25_micro DESC, {id_col} ASC
+        LIMIT {k}
+    """
+
+
 def semdedup_sql(
     dims: int, threshold: float = 0.95,
     n_clusters: int = 16, seed: int = 42,

@@ -356,6 +356,86 @@ def test_dsir_quantile_select_ties_share_fate_and_partition_invariant(spark):
         dsir_quantile_select(docs, 3, 2)
 
 
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Pure-Python BM25 mirror (same quantize-before-sum rule)."""
+    import math
+    import re
+
+    toks = {d: re.findall("[a-z0-9]+", (t or "").lower()) for d, t in rows}
+    n_docs = float(len(rows))
+    total = float(sum(len(v) for v in toks.values()))
+    avgdl = total / n_docs
+    tset = set(terms)
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in tset
+    }
+    out = {}
+    for d, v in toks.items():
+        s, n = 0, 0
+        for t in tset:
+            tf = v.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * len(v) / avgdl))
+            s += math.floor(idf * tfn * 1e6)
+            n += 1
+        if n:
+            out[d] = (s, n)
+    return out
+
+
+def test_bm25_topk_matches_python_mirror(spark):
+    """Scores match the quantized BM25 mirror exactly (int64), docs with
+    no query term never appear, and the k cut keeps the highest scores
+    with doc_id tie-break."""
+    from pyspider_spark.operators.textprep import bm25_topk
+
+    rows = [
+        (0, "spark joins hash tables fast hash hash"),
+        (1, "vector scan with a hash probe"),
+        (2, "nothing relevant here at all"),
+        (3, "join join join vector"),
+        (4, ""),
+        (5, "hash"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bm25_micro"], r["n_terms"])
+        for r in bm25_topk(docs, ["hash", "join", "vector"], k=10).collect()
+    }
+    want = _py_bm25(rows, ["hash", "join", "vector"])
+    assert got == want
+    assert 2 not in got and 4 not in got
+
+    top2 = bm25_topk(docs, ["hash", "join", "vector"], k=2).collect()
+    full = sorted(want.items(), key=lambda t: (-t[1][0], t[0]))[:2]
+    assert [(r["doc_id"], (r["bm25_micro"], r["n_terms"])) for r in top2] == full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_bm25_topk_heap_shaped_and_partition_invariant(spark):
+    """Plan contract: top-k compiles to TakeOrderedAndProject (no global
+    sort) and both stats joins broadcast; results invariant to input
+    partitioning."""
+    from pyspider_spark.operators.textprep import bm25_topk
+
+    rows = [(i, "hash join vector w%d " % (i % 7) * (i % 5 + 1)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["hash", "vector"], k=15)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    a = sorted(map(tuple, bm25_topk(docs.coalesce(1), ["hash", "vector"], k=15).collect()))
+    b = sorted(map(tuple, bm25_topk(docs.repartition(16), ["hash", "vector"], k=15).collect()))
+    assert a == b
+
+
 # --- fastText-style hashed linear classifier ---------------------------------
 
 
