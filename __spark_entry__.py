@@ -849,6 +849,16 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(simhash(_t(spark, sf, "documents")), max_hamming=6)
 
 
+def q_allpairs_exact(spark, sf):
+    """EXACT set-similarity self-join via prefix filtering (AllPairs,
+    Bayardo et al. WWW'07): all pairs with word-trigram-set Jaccard
+    >= 4/5, no probabilistic banding — integer-rational bounds end to
+    end, so the value hash is engine-exact."""
+    from pyspider_spark.operators.dedup import allpairs_exact_pairs
+
+    return allpairs_exact_pairs(_t(spark, sf, "documents"), 4, 5, ngram=3)
+
+
 def q_ngram_jaccard(spark, sf):
     """n-gram Jaccard verify on LSH candidates (oracled end-to-end)."""
     from pyspider_spark.operators.dedup import (
@@ -1078,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "quality_classifier": q_quality_classifier,
         "dedup_simhash": q_dedup_simhash,
+        "allpairs_exact": q_allpairs_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1182,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_quantile_select": oracles.dsir_quantile_select_sql(keep_num=1, keep_den=4),
         "bm25_topk": oracles.bm25_topk_sql(["hash", "join", "vector"], k=25),
         "quality_classifier": oracles.quality_classifier_sql(),
+        "allpairs_exact": oracles.allpairs_exact_sql(4, 5, ngram=3),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

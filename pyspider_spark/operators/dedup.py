@@ -621,3 +621,121 @@ def incremental_minhash_pairs(
         new_docs, old_bands, old_sets, text_col, id_col,
         k, n_hashes, bands, rows, threshold, max_bucket_size,
     )
+
+
+def allpairs_exact_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): ALL pairs of documents whose word
+    ``ngram``-set Jaccard is >= threshold_num/threshold_den — EXACT
+    set-similarity self-join via prefix filtering (AllPairs,
+    Bayardo/Ma/Srikant WWW'07), the deterministic complement to the
+    probabilistic MinHash/SimHash paths: no banding recall loss,
+    guaranteed-complete output at the threshold. Set elements are
+    DISTINCT space-joined word n-grams reduced to the engine-portable
+    56-bit md5 slice — joins and intersections compare longs, never gram
+    strings, and any hash collision is IDENTICAL in both engines, so the
+    oracle gate stays exact (standard near-dup practice; n-grams rather
+    than unigrams because template-heavy web text shares most of its
+    word VOCABULARY while differing in word order).
+
+    Prefix-filter principle: order every doc's distinct tokens by global
+    rarity (ascending document frequency, token tie-break); if
+    J(A, B) >= t then A and B MUST share a token inside each one's first
+    ``n - ceil(t*n) + 1`` tokens, so only those prefix rows enter the
+    candidate join — the overwhelming bulk of each doc (its common
+    tokens) never joins anything. The threshold is a rational num/den
+    and every bound is integer arithmetic (``ceil(n*t)`` =
+    ``(n*num + den - 1) div den``; the verify gate is
+    ``n_inter*den >= num*(n_a + n_b - n_inter)``), so both engines
+    compare exact integers and the value hash is engine-exact.
+
+    Scale shape: tokenization and dedup are row-local array expressions;
+    document frequency is one token-keyed partial-agg groupBy; the
+    rarity rank is a per-doc window (keyed shuffle, per-doc sort — rows
+    per key bounded by doc length); the candidate join is keyed on
+    prefix tokens, which are each doc's RAREST tokens, so buckets are
+    naturally small (a hot bucket means thousands of docs agree on a
+    globally-rare token); ``max_bucket_size`` bounds the pathological
+    case, mirrored exactly in the oracle (completeness holds whenever no
+    prefix bucket exceeds it; pass None for the strict-exact plan). The
+    length filter ``min*den >= num*max`` prunes candidates before the
+    distinct, and the verify is a per-row array_intersect over the
+    per-doc token arrays (the jaccard_verify_sets shape: |pairs| rows,
+    never |pairs| x tokens)."""
+    from pyspark.sql import Window
+
+    from pyspider_spark.operators.corpus import _word_ngrams
+
+    num, den = int(threshold_num), int(threshold_den)
+    if not 0 < num <= den:
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit("[a-z0-9]+"), 0,
+        ).alias("w"),
+    )
+    toks = (
+        words.select(
+            "doc",
+            F.array_distinct(
+                F.transform(_word_ngrams("w", int(ngram)), lambda g: md5_hash56(g))
+            ).alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+        .persist()
+    )
+    t = toks.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+    dft = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = t.join(dft, "tok").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("tok").asc())
+        ),
+    )
+    plen = F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + F.lit(1)
+    prefix = ranked.where(F.col("rk") <= plen).select("doc", "n", "tok")
+    if max_bucket_size is not None:
+        prefix = _guard_buckets(prefix, ["tok"], max_bucket_size)
+    a = prefix.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "tok")
+    b = prefix.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("n_a", "n_b") * den >= F.greatest("n_a", "n_b") * num)
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    # byte-small pair rows, O(|A|+|B|) compute each — spread like
+    # jaccard_verify_sets does
+    cand = cand.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+    ta = toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("t_a"))
+    tb = toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("t_b"))
+    n_inter = F.size(F.array_intersect("t_a", "t_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_inter", n_inter)
+        .where(
+            F.col("n_inter") * den
+            >= num * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1278,6 +1278,69 @@ def bm25_topk_sql(terms: list[str], k: int = 20, k1: float = 1.2,
     """
 
 
+def allpairs_exact_sql(threshold_num: int = 4, threshold_den: int = 5,
+                       ngram: int = 3, max_bucket_size: int = 100_000,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """Mirror of operators.dedup.allpairs_exact_pairs: same lowercase-
+    alnum tokenizer, same space-joined n-grams reduced to the portable
+    56-bit md5 slice, same integer-rational prefix bound / length filter
+    / verify gate, same (df ASC, token ASC) rarity order, same prefix
+    hot-bucket guard — every comparison is over exact integers, so the
+    value hash matches exactly (the output double divides the same two
+    int64s in both engines)."""
+    num, den, n = int(threshold_num), int(threshold_den), int(ngram)
+    gh = md5_hash56_sql(f"array_to_string(w[p:p+{n - 1}], ' ')")
+    return f"""
+        WITH ww AS (
+            SELECT {id_col} AS doc,
+                   regexp_extract_all(lower(COALESCE({text_col}, '')),
+                                      '[a-z0-9]+') AS w
+            FROM {table}
+        ),
+        w2 AS (
+            SELECT doc, list_distinct(
+                CASE WHEN len(w) >= {n} THEN
+                    [{gh} for p in generate_series(1, len(w) - {n - 1})]
+                ELSE [] END) AS toks
+            FROM ww
+        ),
+        w3 AS (SELECT doc, toks, len(toks) AS nn FROM w2 WHERE len(toks) > 0),
+        t AS (SELECT doc, nn, unnest(toks) AS tok FROM w3),
+        dft AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+        r AS (
+            SELECT doc, nn, tok,
+                   row_number() OVER (PARTITION BY doc
+                                      ORDER BY df ASC, tok ASC) AS rk
+            FROM t JOIN dft USING (tok)
+        ),
+        p AS (
+            SELECT doc, nn, tok FROM r
+            WHERE rk <= nn - ((nn * {num} + {den - 1}) // {den}) + 1
+        ),
+        pg AS (SELECT tok FROM p GROUP BY tok
+               HAVING COUNT(*) <= {int(max_bucket_size)}),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                   a.nn AS n_a, b.nn AS n_b
+            FROM (SELECT * FROM p JOIN pg USING (tok)) a
+            JOIN (SELECT * FROM p JOIN pg USING (tok)) b USING (tok)
+            WHERE a.doc < b.doc
+              AND least(a.nn, b.nn) * {den} >= {num} * greatest(a.nn, b.nn)
+        ),
+        v AS (
+            SELECT doc_a, doc_b, n_a, n_b,
+                   len(list_intersect(wa.toks, wb.toks)) AS ni
+            FROM cand
+            JOIN w3 wa ON wa.doc = cand.doc_a
+            JOIN w3 wb ON wb.doc = cand.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(ni AS DOUBLE) / (n_a + n_b - ni) AS jaccard
+        FROM v WHERE ni * {den} >= {num} * (n_a + n_b - ni)
+    """
+
+
 def semdedup_sql(
     dims: int, threshold: float = 0.95,
     n_clusters: int = 16, seed: int = 42,

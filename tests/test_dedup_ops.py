@@ -249,3 +249,104 @@ def test_incremental_minhash_probe_from_storage(spark, tmp_path):
         ).collect())
     )
     assert stored == direct and len(direct) >= 2
+
+
+# --- AllPairs exact prefix-filter join ---------------------------------------
+
+
+def _brute_jaccard_pairs(rows, num, den, n):
+    """Brute-force all-pairs word-ngram Jaccard — the completeness oracle
+    the prefix filter must equal exactly."""
+    import re
+
+    sets = {}
+    for d, t in rows:
+        w = re.findall("[a-z0-9]+", (t or "").lower())
+        sets[d] = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            ni = len(sets[a] & sets[b])
+            nu = len(sets[a]) + len(sets[b]) - ni
+            if ni * den >= num * nu:
+                out[(a, b)] = ni / nu
+    return out
+
+
+def test_allpairs_exact_equals_brute_force(spark):
+    """The defining property of AllPairs: the prefix-filtered join loses
+    NOTHING — output identical to brute-force all-pairs at the threshold,
+    including pairs near the boundary and across doc-length skew."""
+    from pyspider_spark.operators.dedup import allpairs_exact_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # identical -> J=1
+        (2, base.replace("today", "tonight")),  # near boundary
+        (3, base + " and then some extra trailing words appear here"),
+        (4, "completely different text about spark shuffles and joins"),
+        (5, "completely different text about spark shuffles and joins ok"),
+        (6, ""),  # empty: never pairs
+        (7, "tiny doc"),  # < n words: empty gram set, never pairs
+        (8, base.replace("quick", "slow").replace("lazy", "busy")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for num, den in [(1, 2), (7, 10), (9, 10)]:
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in allpairs_exact_pairs(docs, num, den, ngram=3).collect()
+        }
+        want = _brute_jaccard_pairs(rows, num, den, 3)
+        assert set(got) == set(want), (num, den)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_allpairs_guard_mirrors_and_partition_invariance(spark):
+    """max_bucket_size drops hot PREFIX buckets deterministically (the
+    oracle mirrors the same bound), None disables the guard entirely,
+    and results are invariant to input partitioning."""
+    from pyspider_spark.operators.dedup import allpairs_exact_pairs
+
+    # 6 identical docs: every prefix token is shared by all 6
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)]
+    rows += [(10, "totally unrelated words live in this document body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = allpairs_exact_pairs(docs, 4, 5, ngram=3, max_bucket_size=None).collect()
+    assert len(full) == 15  # C(6,2)
+    guarded = allpairs_exact_pairs(docs, 4, 5, ngram=3, max_bucket_size=5).collect()
+    assert guarded == []  # every prefix bucket has 6 > 5 members
+
+    a = sorted(
+        map(tuple, allpairs_exact_pairs(docs.coalesce(1), 4, 5, ngram=3).collect())
+    )
+    b = sorted(
+        map(tuple, allpairs_exact_pairs(docs.repartition(16), 4, 5, ngram=3).collect())
+    )
+    assert a == b == sorted(map(tuple, full))
+
+
+def test_allpairs_plan_keyed_joins_only(spark):
+    """Plan contract: every join in the AllPairs plan is keyed (hash or
+    sort-merge) — no cartesian / broadcast-nested-loop anywhere."""
+    from pyspider_spark.operators.dedup import allpairs_exact_pairs
+
+    rows = [(i, "w%d x%d common tail words here okay" % (i % 4, i % 3)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = (
+        allpairs_exact_pairs(docs, 4, 5, ngram=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        allpairs_exact_pairs(docs, 0, 5)
+    with _pytest.raises(ValueError):
+        allpairs_exact_pairs(docs, 6, 5)
