@@ -849,6 +849,15 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(simhash(_t(spark, sf, "documents")), max_hamming=6)
 
 
+def q_per_source_cap(spark, sf):
+    """Per-source document cap (RefinedWeb/C4 anti-dominance): top 10
+    docs per source by micro-quantized quality, salted two-phase rank
+    (16 buckets) that must equal the oracle's single plain window."""
+    from pyspider_spark.operators.textprep import per_source_cap
+
+    return per_source_cap(_t(spark, sf, "documents"), cap=10, salt_buckets=16)
+
+
 def q_allpairs_exact(spark, sf):
     """EXACT set-similarity self-join via prefix filtering (AllPairs,
     Bayardo et al. WWW'07): all pairs with word-trigram-set Jaccard
@@ -1089,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "dedup_simhash": q_dedup_simhash,
         "allpairs_exact": q_allpairs_exact,
+        "per_source_cap": q_per_source_cap,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1194,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.bm25_topk_sql(["hash", "join", "vector"], k=25),
         "quality_classifier": oracles.quality_classifier_sql(),
         "allpairs_exact": oracles.allpairs_exact_sql(4, 5, ngram=3),
+        "per_source_cap": oracles.per_source_cap_sql(cap=10),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

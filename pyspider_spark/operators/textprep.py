@@ -892,3 +892,62 @@ def domain_curation(
         & (F.lit(2) * F.col("n_gopher_keep") >= F.col("n_docs"))
         & (F.lit(10) * F.col("n_distinct_fp") >= F.lit(9) * F.col("n_docs")),
     )
+
+
+def per_source_cap(
+    docs: DataFrame,
+    cap: int = 10,
+    salt_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, quality_micro, src_rank): keep at most ``cap``
+    documents per source, highest quality first — the RefinedWeb/C4
+    anti-dominance move that stops one giant host from swamping the
+    training mix (the exact-count complement to ``stratified_sample``'s
+    rate-based thinning and ``domain_curation``'s whole-source gate).
+
+    Ranking is exact: the shared :func:`quality_score` double quantizes
+    to integer micro-units (identical expression both engines), ties
+    break by ``id_col`` ascending, so the kept SET and every rank are
+    engine-exact integers.
+
+    Scale shape — the hot-host problem this operator EXISTS for also
+    shapes its plan: a naive per-source window sorts the giant host's
+    millions of rows in one task. Instead the rank runs in two phases
+    (the frontier's salted-select pattern, frontier.py): phase 1 ranks
+    within (source, id mod salt_buckets) — the hot host's rows spread
+    over ``salt_buckets`` tasks — and keeps ``cap`` per bucket, which
+    provably contains the true top-``cap`` (any doc in the global
+    top-cap has < cap bucket-mates beating it); phase 2 re-ranks the
+    <= salt_buckets*cap survivors per source. Both windows are keyed
+    shuffles with per-key heap-size sorts; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    from pyspider_spark.functions.text import quality_score
+
+    if cap < 1 or salt_buckets < 1:
+        raise ValueError("cap and salt_buckets must be >= 1")
+    scored = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.floor(quality_score(F.col(text_col)) * F.lit(1e6))
+        .cast("long")
+        .alias("quality_micro"),
+    )
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(
+            "source", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+        ).orderBy(F.col("quality_micro").desc(), F.col(id_col).asc())
+        scored = (
+            scored.withColumn("_rk1", F.row_number().over(w1))
+            .where(F.col("_rk1") <= int(cap))
+            .drop("_rk1")
+        )
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("quality_micro").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "src_rank", F.row_number().over(w2).cast("long")
+    ).where(F.col("src_rank") <= int(cap))

@@ -1278,6 +1278,33 @@ def bm25_topk_sql(terms: list[str], k: int = 20, k1: float = 1.2,
     """
 
 
+def per_source_cap_sql(cap: int = 10, table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       source_col: str = "source") -> str:
+    """Mirror of operators.textprep.per_source_cap as ONE plain window
+    per source — exactly what the salted two-phase rank must reproduce
+    for ANY salt_buckets (the driver gate therefore also checks the
+    salting's containment proof). quality_score quantizes to integer
+    micro-units via the shared mirrored expression, ties break by id."""
+    return f"""
+        WITH s AS (
+            SELECT {id_col}, {source_col} AS source,
+                   CAST(FLOOR(({quality_sql(text_col)}) * 1e6) AS BIGINT)
+                       AS quality_micro
+            FROM {table}
+        ),
+        r AS (
+            SELECT {id_col}, source, quality_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY quality_micro DESC, {id_col} ASC
+                   ) AS BIGINT) AS src_rank
+            FROM s
+        )
+        SELECT * FROM r WHERE src_rank <= {int(cap)}
+    """
+
+
 def allpairs_exact_sql(threshold_num: int = 4, threshold_den: int = 5,
                        ngram: int = 3, max_bucket_size: int = 100_000,
                        table: str = "documents", id_col: str = "doc_id",

@@ -728,3 +728,41 @@ def test_domain_curation_plan_single_agg_no_join(spark):
     )
     plan = domain_curation(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# --- per-source cap -----------------------------------------------------------
+
+
+def test_per_source_cap_salted_equals_unsalted_and_semantics(spark):
+    """The salted two-phase rank is bit-identical to the plain window
+    (containment proof exercised on a skewed source distribution), at
+    most cap rows survive per source with dense ranks 1..min(cap, n),
+    and results are partition-invariant."""
+    from pyspider_spark.operators.textprep import per_source_cap
+
+    rows = [(i, "text body %s ok fine" % ("the and of to is " * (i % 9)), "hot")
+            for i in range(200)]
+    rows += [(1000 + i, "short %d" % i, "cold%d" % (i % 3)) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    plain = sorted(map(tuple, per_source_cap(docs, cap=7, salt_buckets=1).collect()))
+    salted = sorted(map(tuple, per_source_cap(docs, cap=7, salt_buckets=16).collect()))
+    assert plain == salted
+
+    by_src = {}
+    for _, src, _, rk in plain:
+        by_src.setdefault(src, []).append(rk)
+    assert sorted(by_src["hot"]) == list(range(1, 8))  # capped at 7
+    for s, rks in by_src.items():
+        if s.startswith("cold"):
+            assert sorted(rks) == list(range(1, len(rks) + 1))
+            assert len(rks) == 3  # 9 docs over 3 cold sources
+
+    rep = sorted(map(tuple, per_source_cap(
+        docs.repartition(16), cap=7, salt_buckets=16).collect()))
+    assert rep == plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        per_source_cap(docs, cap=0)
