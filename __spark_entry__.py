@@ -494,6 +494,17 @@ def q_dedup_cluster(spark, sf):
     return connected_components(pairs)
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware keep-one-per-cluster retention: minhash near-dup
+    components, winner = argmax (quality_micro, -id) per component —
+    broadcast-only on the corpus side (plan-tested)."""
+    from pyspider_spark.operators.dedup import dedup_keep_best, minhash_dedup
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup(docs, k=5, n_hashes=32, bands=8, rows=4, threshold=0.6)
+    return dedup_keep_best(docs, pairs)
+
+
 def q_corpus_clean(spark, sf):
     """End-to-end training-corpus cleaning: lang gate → quality gate →
     exact dedup → near-dup clustering with one canonical kept per
@@ -1070,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "incremental_minhash": q_incremental_minhash,
         "dedup_cluster": q_dedup_cluster,
+        "dedup_keep_best": q_dedup_keep_best,
         "corpus_clean": q_corpus_clean,
         "pagerank": q_pagerank,
         "repetition_stats": q_repetition_stats,
@@ -1153,6 +1165,9 @@ def oracle_sql() -> dict[str, str]:
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6, split_mod=5
         ),
         "dedup_cluster": oracles.minhash_components_sql(
+            k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
+        ),
+        "dedup_keep_best": oracles.dedup_keep_best_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
         ),
         "corpus_clean": oracles.corpus_clean_sql(),

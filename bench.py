@@ -69,6 +69,9 @@ HEADLINE = [
     "incremental_minhash",
     # round 5 session 4: domain-level source gating
     "domain_curation",
+    # round 5 session 5: exact prefix-filter join + per-source cap
+    "allpairs_exact",
+    "per_source_cap",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

@@ -739,3 +739,61 @@ def allpairs_exact_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, component, quality_micro, is_kept): quality-aware
+    keep-one-per-cluster retention — where :func:`dedup_assign` keeps
+    the MIN-id member, real pipelines keep the BEST member (highest
+    quality score, id tie-break), so a boilerplate-heavy copy never
+    shadows the clean original. Winner = argmax of
+    (quality_micro, -id): the shared :func:`quality_score` double
+    quantized to integer micro-units, engine-exact.
+
+    Scale shape: the corpus is NEVER shuffled. Components and per-
+    component winners both derive from the (tiny) paired-doc set —
+    winners via one partial-aggregable groupBy max-of-struct (no window
+    sort) — and broadcast back onto the corpus scan as two
+    broadcast-hash left joins; singleton docs (no pair) short-circuit
+    to kept without touching either table."""
+    from pyspider_spark.functions.text import quality_score
+
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed("doc", id_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.floor(quality_score(F.col(text_col)) * F.lit(1e6))
+        .cast("long")
+        .alias("quality_micro"),
+    )
+    members = scored.join(F.broadcast(comp), id_col, "inner")
+    winners = (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_micro").alias("q"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("w")
+        )
+        .select("component", (-F.col("w.neg_id")).cast("long").alias("keep_id"))
+    )
+    return (
+        scored.join(F.broadcast(comp), id_col, "left")
+        .join(F.broadcast(winners), "component", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            F.col("quality_micro"),
+            (F.col("component").isNull() | (F.col(id_col) == F.col("keep_id"))).alias(
+                "is_kept"
+            ),
+        )
+    )

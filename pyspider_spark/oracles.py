@@ -81,6 +81,60 @@ def minhash_components_sql(
     """
 
 
+def dedup_keep_best_sql(
+    k: int, n_hashes: int, bands: int, rows: int, threshold: float,
+    max_bucket_size: int = 1000,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.dedup.dedup_keep_best over minhash_dedup's
+    pairs: recursive-reachability components, then the per-component
+    winner by (quality_micro DESC, id ASC) — the window formulation of
+    the Spark side's max-of-struct argmax (same total order). Singletons
+    are their own kept component."""
+    ctes = _minhash_ctes(
+        k, n_hashes, bands, rows, max_bucket_size, table, id_col, text_col,
+        None, threshold,
+    )
+    return f"""
+        WITH RECURSIVE {ctes},
+        fp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {threshold}),
+        ed AS (
+            SELECT doc_a AS x, doc_b AS y FROM fp
+            UNION SELECT doc_b, doc_a FROM fp
+        ),
+        reach(node, peer) AS (
+            SELECT x, x FROM ed
+            UNION
+            SELECT r.node, e.y FROM reach r JOIN ed e ON e.x = r.peer
+        ),
+        comp AS (SELECT node AS doc, MIN(peer) AS component FROM reach GROUP BY node),
+        q AS (
+            SELECT {id_col},
+                   CAST(FLOOR(({quality_sql(text_col)}) * 1e6) AS BIGINT)
+                       AS quality_micro
+            FROM {table}
+        ),
+        f AS (
+            SELECT q.{id_col},
+                   COALESCE(comp.component, q.{id_col}) AS component,
+                   q.quality_micro,
+                   comp.component IS NULL AS singleton
+            FROM q LEFT JOIN comp ON comp.doc = q.{id_col}
+        ),
+        r AS (
+            SELECT {id_col}, component, quality_micro, singleton,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY quality_micro DESC, {id_col} ASC
+                   ) AS rk
+            FROM f
+        )
+        SELECT {id_col}, component, quality_micro,
+               (singleton OR rk = 1) AS is_kept
+        FROM r
+    """
+
+
 def _minhash_ctes(
     k: int, n_hashes: int, bands: int, rows: int, max_bucket_size: int,
     table: str, id_col: str, text_col: str,

@@ -350,3 +350,39 @@ def test_allpairs_plan_keyed_joins_only(spark):
         allpairs_exact_pairs(docs, 0, 5)
     with _pytest.raises(ValueError):
         allpairs_exact_pairs(docs, 6, 5)
+
+
+def test_dedup_keep_best_semantics_and_plan(spark):
+    """Winner per component is the highest-quality member (id tie-break),
+    singletons are kept, and the corpus side sees only broadcast joins —
+    no sort-merge join, no corpus-wide window."""
+    from pyspider_spark.operators.dedup import dedup_keep_best
+    from pyspider_spark.functions.text import quality_score
+
+    rows = [
+        (0, "short"),
+        (1, "the and of to is " * 30),   # high quality (stopword-rich, long)
+        (2, "zz!! ## $$ %% ^^ && **"),   # low quality (punct-heavy)
+        (3, "the and of to is " * 30),   # same text as 1 -> same score; id 1 wins
+        (4, "lonely singleton document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 2), (1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = dedup_keep_best(docs, pairs)
+    got = {r["doc_id"]: (r["component"], r["is_kept"]) for r in out.collect()}
+    # one component {0,1,2,3} (min id 0), winner = doc 1 (highest quality)
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # ties with 1 on score, loses on id
+    assert got[4] == (4, True)   # singleton kept, own component
+    q = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert q[1] == q[3] and q[1] > q[2]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # winners via partial-agg max-of-struct
