@@ -860,6 +860,15 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(simhash(_t(spark, sf, "documents")), max_hamming=6)
 
 
+def q_winnow_overlap(spark, sf):
+    """MOSS-style winnowing partial-overlap pairs (Schleimer et al.
+    SIGMOD'03): k=8 char-gram hashes, w=4 window value-min fingerprints,
+    pairs sharing >= 16 distinct fingerprints (a substantial lift)."""
+    from pyspider_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf, "documents"), k=8, w=4, min_shared=16)
+
+
 def q_per_source_cap(spark, sf):
     """Per-source document cap (RefinedWeb/C4 anti-dominance): top 10
     docs per source by micro-quantized quality, salted two-phase rank
@@ -1111,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "allpairs_exact": q_allpairs_exact,
         "per_source_cap": q_per_source_cap,
+        "winnow_overlap": q_winnow_overlap,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1220,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": oracles.quality_classifier_sql(),
         "allpairs_exact": oracles.allpairs_exact_sql(4, 5, ngram=3),
         "per_source_cap": oracles.per_source_cap_sql(cap=10),
+        "winnow_overlap": oracles.winnow_overlap_sql(k=8, w=4, min_shared=16),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

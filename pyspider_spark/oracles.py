@@ -1332,6 +1332,45 @@ def bm25_topk_sql(terms: list[str], k: int = 20, k1: float = 1.2,
     """
 
 
+def winnow_overlap_sql(k: int = 8, w: int = 4, min_shared: int = 3,
+                       max_bucket_size: int = 1000, table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirror of operators.dedup.winnow_overlap_pairs: same ws-normalized
+    lowercase stream, same k-gram md5-56 hashes, same w-window value-min
+    selection (value-min + distinct set makes tie order irrelevant), same
+    hot-fingerprint guard before the self-join."""
+    gh = md5_hash56_sql(f"substr(t, p, {int(k)})")
+    return f"""
+        WITH d AS (
+            SELECT {id_col} AS doc,
+                   regexp_replace(lower(COALESCE({text_col}, '')),
+                                  '\\s+', ' ', 'g') AS t
+            FROM {table}
+        ),
+        h AS (
+            SELECT doc,
+                   [{gh} for p in
+                    generate_series(1, greatest(length(t) - {k - 1}, 1))] AS h_arr
+            FROM d
+        ),
+        fp AS (
+            SELECT doc, list_distinct(
+                [list_min(h_arr[i:i+{w - 1}]) for i in
+                 generate_series(1, greatest(len(h_arr) - {w - 1}, 1))]) AS fps
+            FROM h
+        ),
+        posts AS (SELECT doc, unnest(fps) AS f FROM fp),
+        pg AS (SELECT f FROM posts GROUP BY f
+               HAVING COUNT(*) <= {int(max_bucket_size)}),
+        p AS (SELECT doc, f FROM posts JOIN pg USING (f))
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM p a JOIN p b ON a.f = b.f AND a.doc < b.doc
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {int(min_shared)}
+    """
+
+
 def per_source_cap_sql(cap: int = 10, table: str = "documents",
                        id_col: str = "doc_id", text_col: str = "text",
                        source_col: str = "source") -> str:

@@ -386,3 +386,82 @@ def test_dedup_keep_best_semantics_and_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # winners via partial-agg max-of-struct
+
+
+# --- winnowing (MOSS) partial-overlap ----------------------------------------
+
+
+def _py_winnow(text, k=8, w=4):
+    """Pure-Python winnowing mirror (value-min windows, distinct set)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", (text or "").lower())
+    n = max(len(t) - k + 1, 1)
+    hs = [int(hashlib.md5(t[p:p + k].encode()).hexdigest()[:14], 16)
+          for p in range(n)]
+    m = max(len(hs) - w + 1, 1)
+    return {min(hs[i:i + w]) for i in range(m)}
+
+
+def test_winnow_fingerprints_match_python_mirror(spark):
+    from pyspider_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "short"),
+        (2, "Multiple   spaces\tand\nnewlines  normalize to one"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: set(r["fps"])
+           for r in winnow_fingerprints(docs, k=8, w=4).collect()}
+    for d, t in rows:
+        assert got[d] == _py_winnow(t, 8, 4), d
+
+
+def test_winnow_finds_planted_partial_overlap(spark):
+    """The winnowing guarantee: a lifted passage inside two otherwise
+    unrelated long pages surfaces as a pair, even though whole-document
+    similarity is tiny (minhash at 0.6 finds nothing)."""
+    from pyspider_spark.operators.dedup import minhash_dedup, winnow_overlap_pairs
+
+    lift = ("this exact paragraph was copied verbatim between two pages "
+            "and is long enough to guarantee many shared fingerprints")
+    page_a = ("completely original opening about databases and storage " * 6
+              + lift + " trailing content regarding query planners " * 6)
+    page_b = ("an unrelated essay on sailing knots and rope care " * 6
+              + lift + " closing notes about tide tables and charts " * 6)
+    rows = [(0, page_a), (1, page_b)] + [
+        (i, "filler document %d with its own words entirely " % i * 8)
+        for i in range(2, 10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(docs, k=8, w=4, min_shared=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    # whole-doc fuzzy dedup misses it:
+    mh = minhash_dedup(docs, k=5, n_hashes=32, bands=8, rows=4, threshold=0.6)
+    assert {(r["doc_a"], r["doc_b"]) for r in mh.collect()
+            if (r["doc_a"], r["doc_b"]) == (0, 1)} == set()
+
+
+def test_winnow_guard_and_partition_invariance(spark):
+    from pyspider_spark.operators.dedup import winnow_overlap_pairs
+
+    rows = [(i, "identical boilerplate footer text shared by every page "
+                "on this entire site without any variation at all")
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every fingerprint appears on all 8 docs: guard at 5 drops them all
+    assert winnow_overlap_pairs(docs, max_bucket_size=5).collect() == []
+    full = winnow_overlap_pairs(docs, max_bucket_size=1000)
+    assert full.count() == 28  # C(8,2)
+
+    a = sorted(map(tuple, winnow_overlap_pairs(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, winnow_overlap_pairs(docs.repartition(16)).collect()))
+    assert a == b
+
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
