@@ -494,6 +494,19 @@ def q_dedup_cluster(spark, sf):
     return connected_components(pairs)
 
 
+def q_leakage_split(spark, sf):
+    """Leakage-safe train/val/test split: the split is hashed from the
+    near-dup COMPONENT (minhash pairs -> connected components), so near-
+    duplicate docs can never straddle splits (eval contamination)."""
+    from pyspider_spark.operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(
+        _t(spark, sf, "documents"),
+        fractions=(0.9, 0.05, 0.05),
+        k=5, n_hashes=32, bands=8, rows=4, threshold=0.6,
+    )
+
+
 def q_dedup_keep_best(spark, sf):
     """Quality-aware keep-one-per-cluster retention: minhash near-dup
     components, winner = argmax (quality_micro, -id) per component —
@@ -1091,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "dedup_cluster": q_dedup_cluster,
         "dedup_keep_best": q_dedup_keep_best,
+        "leakage_split": q_leakage_split,
         "corpus_clean": q_corpus_clean,
         "pagerank": q_pagerank,
         "repetition_stats": q_repetition_stats,
@@ -1179,6 +1193,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_keep_best": oracles.dedup_keep_best_sql(
             k=5, n_hashes=32, bands=8, rows=4, threshold=0.6
+        ),
+        "leakage_split": oracles.leakage_split_sql(
+            k=5, n_hashes=32, bands=8, rows=4, threshold=0.6,
+            fractions=(0.9, 0.05, 0.05),
         ),
         "corpus_clean": oracles.corpus_clean_sql(),
         "pagerank": oracles.pagerank_sql(),

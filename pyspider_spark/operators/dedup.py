@@ -900,3 +900,71 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """(doc_id, component, bucket, split): deterministic train/val/test
+    assignment with NEAR-DUP LEAKAGE CONTROL — the split is hashed from
+    the document's near-dup COMPONENT, not the document, so two near-
+    duplicate documents (and, transitively, a whole mirror-farm cluster)
+    can never straddle splits. A doc-hashed split silently leaks ~dup_rate
+    of validation into training; eval contamination is exactly what
+    benchmark-decontamination pipelines exist to prevent, and the same
+    discipline applies to a model's own held-out split.
+
+    Mechanics: minhash near-dup pairs -> connected components (large/
+    small-star, O(log n) rounds) -> component label (own id for
+    singletons) -> bucket = md5-56(salt | component) mod 1000 ->
+    thresholds from ``fractions``. Everything after the components is one
+    projection; the components table holds only docs that appear in some
+    near-dup pair, so the join broadcasts. Hash-assignment makes the
+    split reproducible shard-by-shard (no global sample/sort) and the
+    proportions exact in expectation — at corpus scale the binomial
+    deviation is negligible; what matters is that membership is a pure
+    function of content clusters, stable across reruns and appends."""
+    f_train, f_val, f_test = (float(f) for f in fractions)
+    if abs(f_train + f_val + f_test - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    t_train = int(round(f_train * 1000))
+    t_val = t_train + int(round(f_val * 1000))
+
+    pairs = minhash_dedup(
+        docs, text_col=text_col, id_col=id_col, k=k, n_hashes=n_hashes,
+        bands=bands, rows=rows, threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs).withColumnRenamed("doc", id_col)
+    bucket = (
+        md5_hash56(
+            F.concat(F.lit(salt + "|"), F.col("component").cast("string"))
+        ) % F.lit(1000)
+    ).alias("bucket")
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .select(
+            id_col,
+            "component",
+            bucket,
+            F.when(F.col("bucket") < t_train, F.lit("train"))
+            .when(F.col("bucket") < t_val, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

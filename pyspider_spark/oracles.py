@@ -81,6 +81,57 @@ def minhash_components_sql(
     """
 
 
+def leakage_split_sql(
+    k: int, n_hashes: int, bands: int, rows: int, threshold: float,
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    max_bucket_size: int = 1000,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    salt: str = "split",
+) -> str:
+    """Mirror of operators.dedup.leakage_safe_split: same minhash pairs,
+    same recursive-reachability components (COALESCE to own id for
+    singletons), same md5-56(salt|component) mod 1000 bucketing and the
+    same integer thresholds from ``fractions``."""
+    t_train = int(round(float(fractions[0]) * 1000))
+    t_val = t_train + int(round(float(fractions[1]) * 1000))
+    ctes = _minhash_ctes(
+        k, n_hashes, bands, rows, max_bucket_size, table, id_col, text_col,
+        None, threshold,
+    )
+    bucket = md5_hash56_sql(
+        f"concat('{salt}|', CAST(component AS VARCHAR))"
+    )
+    return f"""
+        WITH RECURSIVE {ctes},
+        fp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= {threshold}),
+        ed AS (
+            SELECT doc_a AS x, doc_b AS y FROM fp
+            UNION SELECT doc_b, doc_a FROM fp
+        ),
+        reach(node, peer) AS (
+            SELECT x, x FROM ed
+            UNION
+            SELECT r.node, e.y FROM reach r JOIN ed e ON e.x = r.peer
+        ),
+        comp AS (SELECT node AS doc, MIN(peer) AS component FROM reach GROUP BY node),
+        lbl AS (
+            SELECT t.{id_col},
+                   COALESCE(c.component, t.{id_col}) AS component
+            FROM {table} t LEFT JOIN comp c ON c.doc = t.{id_col}
+        ),
+        bkt AS (
+            SELECT {id_col}, component,
+                   CAST(({bucket}) % 1000 AS BIGINT) AS bucket
+            FROM lbl
+        )
+        SELECT {id_col}, component, bucket,
+               CASE WHEN bucket < {t_train} THEN 'train'
+                    WHEN bucket < {t_val} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bkt
+    """
+
+
 def dedup_keep_best_sql(
     k: int, n_hashes: int, bands: int, rows: int, threshold: float,
     max_bucket_size: int = 1000,

@@ -465,3 +465,67 @@ def test_winnow_guard_and_partition_invariance(spark):
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- leakage-safe split ------------------------------------------------------
+
+
+def test_leakage_safe_split_semantics(spark):
+    """Near-dup docs always land in the SAME split (the whole point);
+    every doc gets exactly one split; assignment is deterministic and
+    partition-invariant; proportions track the fractions."""
+    from pyspider_spark.operators.dedup import leakage_safe_split, minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow waltz under paper lanterns in the town square ")
+    import hashlib
+
+    def salad(i):
+        # genuinely distinct docs: hex-token word salad (digit-only
+        # variation would make every filler a near-dup of every other
+        # at char-shingle threshold 0.6 — one giant component)
+        return " ".join(
+            hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10] for j in range(25)
+        )
+
+    rows = [(0, base * 3), (1, base * 3 + "tiny tail"), (2, base * 3 + "x")]
+    rows += [(i, salad(i)) for i in range(3, 303)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = leakage_safe_split(docs, fractions=(0.8, 0.1, 0.1), threshold=0.6)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # exactly one row per doc
+
+    # the planted near-dup cluster shares one component and one split
+    assert got[0]["component"] == got[1]["component"] == got[2]["component"] == 0
+    assert got[0]["split"] == got[1]["split"] == got[2]["split"]
+
+    # stronger: EVERY minhash pair's endpoints agree on the split
+    pairs = minhash_dedup(docs, k=5, n_hashes=32, bands=8, rows=4, threshold=0.6)
+    for p in pairs.collect():
+        assert got[p["doc_a"]]["split"] == got[p["doc_b"]]["split"], p
+
+    # proportions: 303 docs at 80/10/10 — binomial 3-sigma is ~±7%
+    from collections import Counter
+
+    frac = Counter(r["split"] for r in got.values())
+    assert 0.70 <= frac["train"] / len(rows) <= 0.90
+    assert frac["val"] > 0 and frac["test"] > 0
+
+    # deterministic + partition-invariant
+    again = {r["doc_id"]: (r["component"], r["bucket"], r["split"])
+             for r in leakage_safe_split(
+                 docs.repartition(16), fractions=(0.8, 0.1, 0.1), threshold=0.6
+             ).collect()}
+    assert again == {d: (r["component"], r["bucket"], r["split"])
+                     for d, r in got.items()}
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from pyspider_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, fractions=(0.5, 0.1, 0.1))
