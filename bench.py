@@ -72,6 +72,13 @@ HEADLINE = [
     # round 5 session 5: exact prefix-filter join + per-source cap
     "allpairs_exact",
     "per_source_cap",
+    # round 5 session 6: leakage-safe split (minhash pairs -> components
+    # -> hashed split). winnow_overlap stays oracle-only: the synthetic
+    # corpus's template vocabulary makes nearly every fingerprint hot, so
+    # its inverted-index join volume (~66 s at sf0.1) measures the
+    # corpus's pathology, not the operator (real-web fingerprint sharing
+    # is sparse; the hot-fp guard bounds it there).
+    "leakage_split",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}
