@@ -882,6 +882,19 @@ def q_winnow_overlap(spark, sf):
     return winnow_overlap_pairs(_t(spark, sf, "documents"), k=8, w=4, min_shared=16)
 
 
+def q_winnow_contamination(spark, sf):
+    """Doc-level eval-contamination scoring: docs with doc_id % 17 == 0
+    play the benchmark, the rest the training corpus; each benchmark
+    doc's winnowing-fingerprint hit fraction against the corpus's
+    DISTINCT fingerprint set (bounded probe join, no pair table)."""
+    from pyspider_spark.operators.dedup import winnow_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return winnow_contamination(corpus, bench, k=8, w=4)
+
+
 def q_per_source_cap(spark, sf):
     """Per-source document cap (RefinedWeb/C4 anti-dominance): top 10
     docs per source by micro-quantized quality, salted two-phase rank
@@ -1135,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_exact": q_allpairs_exact,
         "per_source_cap": q_per_source_cap,
         "winnow_overlap": q_winnow_overlap,
+        "winnow_contamination": q_winnow_contamination,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1249,6 +1263,9 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_exact": oracles.allpairs_exact_sql(4, 5, ngram=3),
         "per_source_cap": oracles.per_source_cap_sql(cap=10),
         "winnow_overlap": oracles.winnow_overlap_sql(k=8, w=4, min_shared=16),
+        "winnow_contamination": oracles.winnow_contamination_sql(
+            k=8, w=4, bench_mod=17
+        ),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

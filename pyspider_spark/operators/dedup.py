@@ -968,3 +968,55 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def winnow_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_fps, n_hit, frac): per BENCHMARK document, how many of
+    its winnowing fingerprints appear anywhere in the training corpus —
+    doc-level eval-contamination scoring. Complementary to the n-gram
+    membership check (`corpus.ngram_contamination`): winnowing keeps the
+    w+k-1 substring guarantee under position shifts, so a benchmark
+    passage pasted mid-page still registers, and the per-doc fraction
+    grades contamination severity instead of flagging single grams.
+
+    Scale shape: the corpus side collapses to its DISTINCT fingerprint
+    set (one explode + distinct — fingerprints are ~0.4x corpus grams as
+    thin longs, the classic inverted-index vocabulary); each benchmark
+    fingerprint then probes that set with one left join on a long key and
+    the verdicts partial-aggregate per doc. No doc-x-doc pair table
+    exists anywhere — unlike an overlap-pairs report, volume is bounded
+    by |bench fingerprints|, so a hot boilerplate fingerprint costs one
+    probe row, not a quadratic bucket. The benchmark side is tiny by
+    definition; at 100 TB the corpus fp set is the only big table and it
+    partitions uniformly on the hash value."""
+    corpus_fps = (
+        winnow_fingerprints(corpus, k, w, id_col, text_col)
+        .select(F.explode("fps").alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bench_posts = winnow_fingerprints(bench, k, w, id_col, text_col).select(
+        F.col("doc").alias(id_col), F.explode("fps").alias("fp")
+    )
+    return (
+        bench_posts.join(corpus_fps, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_fps",
+            "n_hit",
+            # 4-decimal reporting precision (engine-portable, like jaccard)
+            F.round(F.col("n_hit") / F.col("n_fps"), 4).alias("frac"),
+        )
+    )

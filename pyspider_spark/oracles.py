@@ -1422,6 +1422,51 @@ def winnow_overlap_sql(k: int = 8, w: int = 4, min_shared: int = 3,
     """
 
 
+def winnow_contamination_sql(k: int = 8, w: int = 4, bench_mod: int = 17,
+                             table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """Mirror of operators.dedup.winnow_contamination over the derived
+    split: docs with id % bench_mod == 0 are the 'benchmark', the rest
+    the training corpus. Same normalization, gram hashes, and w-window
+    value-min fingerprints as winnow_overlap_sql; the corpus side
+    collapses to its DISTINCT fingerprint set and each benchmark
+    fingerprint probes it with one left join."""
+    gh = md5_hash56_sql(f"substr(t, p, {int(k)})")
+    return f"""
+        WITH d AS (
+            SELECT {id_col} AS doc, ({id_col} % {int(bench_mod)} = 0) AS is_bench,
+                   regexp_replace(lower(COALESCE({text_col}, '')),
+                                  '\\s+', ' ', 'g') AS t
+            FROM {table}
+        ),
+        h AS (
+            SELECT doc, is_bench,
+                   [{gh} for p in
+                    generate_series(1, greatest(length(t) - {k - 1}, 1))] AS h_arr
+            FROM d
+        ),
+        fp AS (
+            SELECT doc, is_bench, list_distinct(
+                [list_min(h_arr[i:i+{w - 1}]) for i in
+                 generate_series(1, greatest(len(h_arr) - {w - 1}, 1))]) AS fps
+            FROM h
+        ),
+        corpus_fp AS (
+            SELECT DISTINCT unnest(fps) AS f FROM fp WHERE NOT is_bench
+        ),
+        bench_posts AS (
+            SELECT doc, unnest(fps) AS f FROM fp WHERE is_bench
+        )
+        SELECT b.doc AS {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_fps,
+               CAST(COUNT(c.f) AS BIGINT) AS n_hit,
+               ROUND(COUNT(c.f) / COUNT(*), 4) AS frac
+        FROM bench_posts b LEFT JOIN corpus_fp c ON b.f = c.f
+        GROUP BY b.doc
+    """
+
+
 def per_source_cap_sql(cap: int = 10, table: str = "documents",
                        id_col: str = "doc_id", text_col: str = "text",
                        source_col: str = "source") -> str:

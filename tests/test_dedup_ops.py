@@ -529,3 +529,44 @@ def test_leakage_safe_split_validates_fractions(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, fractions=(0.5, 0.1, 0.1))
+
+
+def test_winnow_contamination_scoring(spark):
+    """A benchmark doc lifted verbatim into the corpus scores ~1.0; a
+    benchmark doc with a pasted corpus passage scores in between; a
+    clean benchmark doc scores ~0. Hot corpus fingerprints cost probe
+    rows, never pair rows (no doc-x-doc table in the plan)."""
+    import hashlib
+
+    from pyspider_spark.operators.dedup import winnow_contamination
+
+    def salad(tag, n=30):
+        return " ".join(
+            hashlib.md5(f"{tag}-{j}".encode()).hexdigest()[:10] for j in range(n)
+        )
+
+    leaked = salad("leaked")
+    passage = salad("passage", 12)
+    corpus_rows = [(100 + i, salad(f"corpus{i}")) for i in range(20)]
+    corpus_rows += [(200, leaked), (201, "intro " + passage + " outro")]
+    bench_rows = [
+        (1, leaked),                              # fully contaminated
+        (2, salad("clean-bench")),                # clean
+        (3, salad("half-a", 10) + " " + passage), # partial
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    out = winnow_contamination(corpus, bench, k=8, w=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["frac"] == 1.0
+    assert got[2]["frac"] <= 0.05
+    assert 0.2 <= got[3]["frac"] <= 0.9
+    for r in got.values():
+        assert r["n_fps"] > 0 and 0 <= r["n_hit"] <= r["n_fps"]
+
+    # scale shape: no pair-shaped join — the probe is one long-key join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
