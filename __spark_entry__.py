@@ -895,6 +895,49 @@ def q_winnow_contamination(spark, sf):
     return winnow_contamination(corpus, bench, k=8, w=4)
 
 
+def q_pack_interleaved(spark, sf):
+    """Greedy token-budget packing of interleaved text/media/link span
+    sequences (media atomic, order preserved) over a deterministic
+    interleaved corpus derived from `documents` (text halves + media
+    every 3rd doc + link every 5th)."""
+    from pyspider_spark.operators.corpus import pack_interleaved_spans
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            r"regexp_replace(lower(coalesce(text, '')), '\\s+', ' ')"
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr("""
+            concat(
+              array(named_struct(
+                'kind', 'text',
+                'text', substring(t, 1, CAST(floor(length(t) / 2) AS INT)),
+                'media_ref', CAST(NULL AS STRING), 'offset', 0)),
+              CASE WHEN doc_id % 3 = 0 THEN array(named_struct(
+                'kind', 'media', 'text', CAST(NULL AS STRING),
+                'media_ref', concat('img://', CAST(doc_id AS STRING)),
+                'offset', 1))
+              ELSE CAST(array() AS ARRAY<STRUCT<kind: STRING, text: STRING,
+                                                media_ref: STRING, offset: INT>>)
+              END,
+              array(named_struct(
+                'kind', 'text',
+                'text', substring(t, CAST(floor(length(t) / 2) AS INT) + 1),
+                'media_ref', CAST(NULL AS STRING), 'offset', 2)),
+              CASE WHEN doc_id % 5 = 0 THEN array(named_struct(
+                'kind', 'link', 'text',
+                concat('https://ex.com/', CAST(doc_id AS STRING)),
+                'media_ref', CAST(NULL AS STRING), 'offset', 3))
+              ELSE CAST(array() AS ARRAY<STRUCT<kind: STRING, text: STRING,
+                                                media_ref: STRING, offset: INT>>)
+              END)
+        """).alias("spans"),
+    )
+    return pack_interleaved_spans(docs, max_tokens=64, media_tokens=32)
+
+
 def q_per_source_cap(spark, sf):
     """Per-source document cap (RefinedWeb/C4 anti-dominance): top 10
     docs per source by micro-quantized quality, salted two-phase rank
@@ -1147,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "allpairs_exact": q_allpairs_exact,
         "per_source_cap": q_per_source_cap,
+        "pack_interleaved": q_pack_interleaved,
         "winnow_overlap": q_winnow_overlap,
         "winnow_contamination": q_winnow_contamination,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1262,6 +1306,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": oracles.quality_classifier_sql(),
         "allpairs_exact": oracles.allpairs_exact_sql(4, 5, ngram=3),
         "per_source_cap": oracles.per_source_cap_sql(cap=10),
+        "pack_interleaved": oracles.pack_interleaved_sql(
+            max_tokens=64, media_tokens=32
+        ),
         "winnow_overlap": oracles.winnow_overlap_sql(k=8, w=4, min_shared=16),
         "winnow_contamination": oracles.winnow_contamination_sql(
             k=8, w=4, bench_mod=17

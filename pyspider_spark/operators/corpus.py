@@ -675,3 +675,64 @@ def apply_span_cuts(
             (F.size("_w") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+def pack_interleaved_spans(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    media_tokens: int = 32,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, ord, kind, cost, seq): greedy token-budget packing of an
+    INTERLEAVED document's span sequence into training sequences — the
+    multimodal-interleaved analogue of `pack_sequences` (which packs flat
+    token streams). Span order is preserved (the whole point of an
+    interleaved corpus is the text/media ORDER), media spans are ATOMIC
+    at a fixed token budget (a patchified image can't straddle two
+    sequences), link spans cost one placeholder token, and text spans
+    cost their whitespace token count. Greedy rule: a span whose cost
+    would overflow the current sequence opens the next one; a span larger
+    than ``max_tokens`` gets a sequence of its own (flagged by cost >
+    max_tokens, never silently truncated).
+
+    Scale shape: the fold is ONE row-local ``aggregate`` over the span
+    array (the accumulator is the per-span (seq, used) state list —
+    lambda-bound only, so no Catalyst lambda-collapse re-evaluation; see
+    dedup.winnow_fingerprints for the anti-pattern), then one posexplode
+    of a single arrays_zip — zero shuffle, zero Python, embarrassingly
+    parallel per document."""
+    L, M = int(max_tokens), int(media_tokens)
+    states = F.expr(f"""
+        aggregate(
+            transform({spans_col}, s -> CAST(CASE
+                WHEN s.kind = 'media' THEN {M}
+                WHEN s.kind = 'link' THEN 1
+                WHEN s.text IS NULL OR trim(s.text) = '' THEN 0
+                ELSE size(split(trim(s.text), '\\\\s+'))
+            END AS BIGINT)),
+            CAST(array() AS ARRAY<STRUCT<seq: BIGINT, used: BIGINT, cost: BIGINT>>),
+            (acc, c) -> CASE
+                WHEN size(acc) = 0
+                    THEN array(named_struct(
+                        'seq', CAST(0 AS BIGINT), 'used', c, 'cost', c))
+                WHEN element_at(acc, -1).used + c > {L}
+                    THEN concat(acc, array(named_struct(
+                        'seq', element_at(acc, -1).seq + CAST(1 AS BIGINT),
+                        'used', c, 'cost', c)))
+                ELSE concat(acc, array(named_struct(
+                    'seq', element_at(acc, -1).seq,
+                    'used', element_at(acc, -1).used + c, 'cost', c)))
+            END)
+    """)
+    return (
+        docs.select(F.col(id_col), F.col(spans_col), states.alias("st"))
+        .select(id_col, spans_col, F.posexplode("st").alias("i", "e"))
+        .select(
+            F.col(id_col),
+            (F.col("i") + 1).cast("long").alias("ord"),
+            F.element_at(F.col(spans_col), F.col("i") + 1)["kind"].alias("kind"),
+            F.col("e")["cost"].alias("cost"),
+            F.col("e")["seq"].alias("seq"),
+        )
+    )

@@ -1467,6 +1467,61 @@ def winnow_contamination_sql(k: int = 8, w: int = 4, bench_mod: int = 17,
     """
 
 
+def pack_interleaved_sql(max_tokens: int = 64, media_tokens: int = 32,
+                         table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Mirror of operators.corpus.pack_interleaved_spans over the same
+    derived interleaved corpus as q_pack_interleaved (text halves, media
+    span on id % 3 == 0, link span on id % 5 == 0). The greedy fold is a
+    per-document linear recursion over span ordinals (the Spark side
+    folds row-locally with `aggregate`)."""
+    L, M = int(max_tokens), int(media_tokens)
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT {id_col} AS doc,
+                   regexp_replace(lower(COALESCE({text_col}, '')),
+                                  '\\s+', ' ', 'g') AS t
+            FROM {table}
+        ),
+        raw AS (
+            SELECT doc, 0 AS off, 'text' AS kind,
+                   substr(t, 1, CAST(floor(length(t) / 2) AS INT)) AS txt
+            FROM d
+            UNION ALL
+            SELECT doc, 1, 'media', NULL FROM d WHERE doc % 3 = 0
+            UNION ALL
+            SELECT doc, 2, 'text',
+                   substr(t, CAST(floor(length(t) / 2) AS INT) + 1)
+            FROM d
+            UNION ALL
+            SELECT doc, 3, 'link', NULL FROM d WHERE doc % 5 = 0
+        ),
+        sp AS (
+            SELECT doc, kind,
+                   ROW_NUMBER() OVER (PARTITION BY doc ORDER BY off) AS ord,
+                   CAST(CASE
+                       WHEN kind = 'media' THEN {M}
+                       WHEN kind = 'link' THEN 1
+                       WHEN txt IS NULL OR trim(txt) = '' THEN 0
+                       ELSE len(string_split_regex(trim(txt), '\\s+'))
+                   END AS BIGINT) AS cost
+            FROM raw
+        ),
+        rec(doc, ord, kind, cost, seq, used) AS (
+            SELECT doc, ord, kind, cost, CAST(0 AS BIGINT), cost
+            FROM sp WHERE ord = 1
+            UNION ALL
+            SELECT s.doc, s.ord, s.kind, s.cost,
+                   CASE WHEN r.used + s.cost > {L} THEN r.seq + 1
+                        ELSE r.seq END,
+                   CASE WHEN r.used + s.cost > {L} THEN s.cost
+                        ELSE r.used + s.cost END
+            FROM rec r JOIN sp s ON s.doc = r.doc AND s.ord = r.ord + 1
+        )
+        SELECT doc AS {id_col}, ord, kind, cost, seq FROM rec
+    """
+
+
 def per_source_cap_sql(cap: int = 10, table: str = "documents",
                        id_col: str = "doc_id", text_col: str = "text",
                        source_col: str = "source") -> str:

@@ -559,3 +559,64 @@ def test_apply_span_cuts_edit_is_rowlocal(spark):
     # visible as a higher-order filter over _w, not a Generate/explode
     tail = plan.split("Generate")[-1]
     assert "array_join" in tail  # rebuild happens AFTER the last explode
+
+
+# --- interleaved span packing ------------------------------------------------
+
+
+def test_pack_interleaved_spans_semantics(spark):
+    """Greedy packing: media spans are atomic (never straddle), order is
+    preserved, an overflowing span opens the next sequence, an oversized
+    text span gets its own sequence; zero-cost spans stay in place."""
+    from pyspider_spark.operators.corpus import pack_interleaved_spans
+
+    rows = [
+        (1, [("text", "one two three four", None, 0),
+             ("media", None, "img://a", 1),
+             ("text", "five six", None, 2),
+             ("link", "https://x", None, 3)]),
+        (2, [("text", " ", None, 0), ("media", None, "img://b", 1)]),
+        (3, [("text", "w " * 100, None, 0), ("text", "tail", None, 1)]),
+        (4, []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {(r["doc_id"], r["ord"]): (r["kind"], r["cost"], r["seq"])
+           for r in pack_interleaved_spans(df, max_tokens=10,
+                                           media_tokens=8).collect()}
+    assert out[(1, 1)] == ("text", 4, 0)
+    assert out[(1, 2)] == ("media", 8, 1)   # 4+8 > 10: media opens seq 1 whole
+    assert out[(1, 3)] == ("text", 2, 1)    # 8+2 = 10 fits
+    assert out[(1, 4)] == ("link", 1, 2)    # 10+1 > 10
+    assert out[(2, 1)] == ("text", 0, 0)    # blank text costs 0
+    assert out[(2, 2)] == ("media", 8, 0)
+    assert out[(3, 1)] == ("text", 100, 0)  # oversized: own sequence, flagged
+    assert out[(3, 2)] == ("text", 1, 1)
+    assert (4, 1) not in out                # empty doc emits nothing
+
+    # per-sequence budget invariant on a larger random-ish corpus
+    import hashlib
+    big = [(i, [("text",
+                 " ".join(hashlib.md5(f"{i}-{j}-{w}".encode()).hexdigest()[:4]
+                          for w in range(1 + (i * 7 + j) % 9)),
+                 None, j) if (i + j) % 4 else ("media", None, f"img://{i}-{j}", j)
+                for j in range(12)])
+           for i in range(40)]
+    bigdf = spark.createDataFrame(
+        big,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    packed = pack_interleaved_spans(bigdf, max_tokens=16, media_tokens=6)
+    from pyspark.sql import functions as F
+    totals = packed.groupBy("doc_id", "seq").agg(
+        F.sum("cost").alias("n"), F.count("*").alias("k")).collect()
+    for r in totals:
+        # a sequence only exceeds the budget when it is a single oversized span
+        assert r["n"] <= 16 or r["k"] == 1, r
+
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local fold: zero shuffle
