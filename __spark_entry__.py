@@ -882,6 +882,15 @@ def q_winnow_overlap(spark, sf):
     return winnow_overlap_pairs(_t(spark, sf, "documents"), k=8, w=4, min_shared=16)
 
 
+def q_ensemble_near_dup(spark, sf):
+    """Consensus near-dup pairs confirmed by >= 2 of the three text
+    similarity families (minhash Jaccard, simhash Hamming, winnowing
+    substring overlap) — ensemble vote before destructive removal."""
+    from pyspider_spark.operators.dedup import ensemble_near_dup
+
+    return ensemble_near_dup(_t(spark, sf, "documents"), min_votes=2)
+
+
 def q_winnow_contamination(spark, sf):
     """Doc-level eval-contamination scoring: docs with doc_id % 17 == 0
     play the benchmark, the rest the training corpus; each benchmark
@@ -1193,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_interleaved": q_pack_interleaved,
         "winnow_overlap": q_winnow_overlap,
         "winnow_contamination": q_winnow_contamination,
+        "ensemble_near_dup": q_ensemble_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1313,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_contamination": oracles.winnow_contamination_sql(
             k=8, w=4, bench_mod=17
         ),
+        "ensemble_near_dup": oracles.ensemble_near_dup_sql(min_votes=2),
         "ngram_jaccard": oracles.minhash_pairs_sql(
             k=4, n_hashes=32, bands=16, rows=2, threshold=0.5
         ),

@@ -1020,3 +1020,67 @@ def winnow_contamination(
             F.round(F.col("n_hit") / F.col("n_fps"), 4).alias("frac"),
         )
     )
+
+
+def ensemble_near_dup(
+    docs: DataFrame,
+    min_votes: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minhash_threshold: float = 0.6,
+    simhash_max_hamming: int = 6,
+    winnow_min_shared: int = 16,
+) -> DataFrame:
+    """(doc_a, doc_b, by_minhash, by_simhash, by_winnow, votes): consensus
+    near-dup pairs confirmed by at least ``min_votes`` of the three text
+    similarity families — MinHash/LSH (set-Jaccard: robust to
+    reordering), SimHash (weighted-token Hamming: robust to small global
+    perturbations), and winnowing fingerprints (contiguous-substring
+    overlap: robust to surrounding rewrites). The families fail
+    differently, so requiring agreement suppresses each one's
+    characteristic false positives while keeping true near-dups that any
+    two detect — the ensemble discipline production dedup pipelines
+    apply before destructive removal.
+
+    Scale shape: each family keeps its own bucketed/guarded candidate
+    plan (never all-pairs); the vote is ONE groupBy over the union of
+    their thin (doc_a, doc_b) pair tables — pair tables are orders of
+    magnitude smaller than the corpus, and the flag aggregation
+    partial-aggregates map-side."""
+    mh = minhash_dedup(
+        docs, text_col=text_col, id_col=id_col,
+        k=5, n_hashes=32, bands=8, rows=4, threshold=minhash_threshold,
+    )
+    sh = simhash_near_pairs(
+        simhash(docs, text_col, id_col), max_hamming=simhash_max_hamming
+    )
+    wn = winnow_overlap_pairs(
+        docs, k=8, w=4, min_shared=winnow_min_shared,
+        id_col=id_col, text_col=text_col,
+    )
+
+    def _fam(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_a", "doc_b", F.lit(name).alias("fam"))
+
+    u = (
+        _fam(mh, "minhash")
+        .unionByName(_fam(sh, "simhash"))
+        .unionByName(_fam(wn, "winnow"))
+    )
+    flags = [
+        F.max(F.col("fam") == name).alias(f"by_{name}")
+        for name in ("minhash", "simhash", "winnow")
+    ]
+    return (
+        u.groupBy("doc_a", "doc_b")
+        .agg(*flags)
+        .select(
+            "doc_a", "doc_b", "by_minhash", "by_simhash", "by_winnow",
+            (
+                F.col("by_minhash").cast("long")
+                + F.col("by_simhash").cast("long")
+                + F.col("by_winnow").cast("long")
+            ).alias("votes"),
+        )
+        .where(F.col("votes") >= int(min_votes))
+    )

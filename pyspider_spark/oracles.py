@@ -1467,6 +1467,53 @@ def winnow_contamination_sql(k: int = 8, w: int = 4, bench_mod: int = 17,
     """
 
 
+def ensemble_near_dup_sql(
+    min_votes: int = 2,
+    minhash_threshold: float = 0.6,
+    simhash_max_hamming: int = 6,
+    winnow_min_shared: int = 16,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Mirror of operators.dedup.ensemble_near_dup: the three family
+    oracles (minhash, simhash, winnow — identical params to their
+    standalone driver queries) nested as subqueries, then one grouped
+    vote with the same >= min_votes cut."""
+    mh = minhash_pairs_sql(
+        k=5, n_hashes=32, bands=8, rows=4, threshold=minhash_threshold,
+        table=table, id_col=id_col, text_col=text_col,
+    )
+    sh = simhash_pairs_sql(
+        max_hamming=simhash_max_hamming,
+        table=table, id_col=id_col, text_col=text_col,
+    )
+    wn = winnow_overlap_sql(
+        k=8, w=4, min_shared=winnow_min_shared,
+        table=table, id_col=id_col, text_col=text_col,
+    )
+    return f"""
+        WITH u AS (
+            SELECT doc_a, doc_b, 'minhash' AS fam FROM ({mh})
+            UNION ALL
+            SELECT doc_a, doc_b, 'simhash' AS fam FROM ({sh})
+            UNION ALL
+            SELECT doc_a, doc_b, 'winnow' AS fam FROM ({wn})
+        ),
+        v AS (
+            SELECT doc_a, doc_b,
+                   MAX(fam = 'minhash') AS by_minhash,
+                   MAX(fam = 'simhash') AS by_simhash,
+                   MAX(fam = 'winnow') AS by_winnow
+            FROM u GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, by_minhash, by_simhash, by_winnow,
+               CAST(CAST(by_minhash AS INT) + CAST(by_simhash AS INT)
+                    + CAST(by_winnow AS INT) AS BIGINT) AS votes
+        FROM v
+        WHERE CAST(by_minhash AS INT) + CAST(by_simhash AS INT)
+              + CAST(by_winnow AS INT) >= {int(min_votes)}
+    """
+
+
 def pack_interleaved_sql(max_tokens: int = 64, media_tokens: int = 32,
                          table: str = "documents", id_col: str = "doc_id",
                          text_col: str = "text") -> str:

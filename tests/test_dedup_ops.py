@@ -570,3 +570,42 @@ def test_winnow_contamination_scoring(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ensemble_near_dup_votes(spark):
+    """A verbatim-ish near-dup is confirmed by multiple families; a pair
+    only one family can see (a lifted paragraph inside otherwise
+    unrelated pages -> winnow only) is vetoed at min_votes=2 but
+    reported at min_votes=1 with the right flags."""
+    import hashlib
+
+    from pyspider_spark.operators.dedup import ensemble_near_dup
+
+    def salad(tag, n=40):
+        return " ".join(
+            hashlib.md5(f"{tag}-{j}".encode()).hexdigest()[:8] for j in range(n)
+        )
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a slow waltz under paper lanterns in the square ") * 3
+    lift = salad("lifted-passage", 14)
+    rows = [
+        (0, base), (1, base + "tiny tail"),              # multi-family dup
+        (2, salad("page-a", 30) + " " + lift),           # winnow-only pair
+        (3, lift + " " + salad("page-b", 30)),
+        (4, salad("clean")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    strict = {(r["doc_a"], r["doc_b"]): r
+              for r in ensemble_near_dup(docs, min_votes=2,
+                                         winnow_min_shared=3).collect()}
+    assert (0, 1) in strict and strict[(0, 1)]["votes"] >= 2
+    assert (2, 3) not in strict                     # single-family veto
+
+    loose = {(r["doc_a"], r["doc_b"]): r
+             for r in ensemble_near_dup(docs, min_votes=1,
+                                        winnow_min_shared=3).collect()}
+    r23 = loose[(2, 3)]
+    assert r23["by_winnow"] and not r23["by_minhash"] and r23["votes"] == 1
+    assert not any(4 in p for p in loose)           # clean doc pairs nothing
