@@ -1133,6 +1133,30 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(_media_table(spark, sf), every_n_bytes=63)
 
 
+def q_media_near_dup(spark, sf):
+    """Media near-dup: payloads + their #half (2x average-pool) and #jitter
+    (re-encode-noise) copies -> 64-bit integer-exact chunk-mean phash ->
+    SimHash pigeonhole Hamming join. The image-dedup stage of a multimodal
+    pipeline; fully oracled (DuckDB recomputes payloads, variants, hashes,
+    and the exact-by-pigeonhole pair set)."""
+    from pyspider_spark.functions.multimodal import media_phash_near_dup
+    from pyspider_spark.synth import interleave_from_testdata
+
+    _literal_oracle_guard(sf)
+    docs = interleave_from_testdata(spark, sf, show=5, hosts=4).withColumn(
+        "spans",
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("media://img/"), F.col("doc_id")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ),
+    )
+    return media_phash_near_dup(docs, max_hamming=3)
+
+
 def q_crawl_flagship(spark, sf):
     """Full crawl over the interleaved corpus (3 rounds); VALUES-literal
     oracled, so the corpus dir must match the oracle generation dir."""
@@ -1211,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "media_near_dup": q_media_near_dup,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -1227,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_flagship": oracles.crawl_flagship_sql(oracle_sf, max_rounds=3),
         "multimodal_features": oracles.multimodal_sql(oracle_sf),
         "multimodal_frames": oracles.multimodal_frames_sql(oracle_sf, every_n_bytes=63),
+        "media_near_dup": oracles.media_phash_sql(oracle_sf, max_hamming=3),
         "r2_select_page": """
             WITH log AS (
                 SELECT CAST(user_id AS VARCHAR) AS taskid,

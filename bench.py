@@ -79,6 +79,9 @@ HEADLINE = [
     # corpus's pathology, not the operator (real-web fingerprint sharing
     # is sparse; the hot-fp guard bounds it there).
     "leakage_split",
+    # round 5 session 7: media perceptual-hash near-dup (synth + variants
+    # + phash64 one narrow mapInPandas pipeline, pigeonhole Hamming join)
+    "media_near_dup",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

@@ -109,6 +109,151 @@ def decode_real(media: DataFrame):
     )
 
 
+# ---------------------------------------------------------------------------
+# Media near-dup: a 64-bit chunk-mean perceptual hash over the payload bytes,
+# Hamming-joined with the same pigeonhole blocking as text SimHash. This is
+# the image-dedup stage of a multimodal pipeline (near-identical images —
+# rescaled/re-encoded copies — dominate web media): a real deployment swaps
+# the chunk-mean stub for pHash/aHash over decoded pixels inside the SAME
+# mapInPandas kernel; everything downstream (blocking, verify, oracle shape)
+# is the production plan. All hash math is INTEGER (cross-multiplied
+# comparisons, no floats), so DuckDB reproduces every bit and the driver
+# gate stays value-exact.
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+
+
+def synth_media_aligned(docs: DataFrame) -> DataFrame:
+    """Like ``synth_media_table`` but (a) payload sizes are multiples of
+    128 (size = 128 * (2 + h[0] % 16)): 64 phash chunks divide the payload
+    exactly, and 2x average-pooling maps chunk boundaries onto chunk
+    boundaries — the alignment a real pHash gets from its fixed 32x32
+    resample; and (b) the payload is a CHAINED digest stream
+    (block j = sha256(ref || ':' || j)), not one repeated digest — a
+    repeated 32-byte period makes every chunk sum identical whenever the
+    chunk size hits the period, collapsing ~1/16 of refs onto phash 0 and
+    drowning the near-dup signal in degenerate cross-ref collisions."""
+    refs = docs.select(
+        F.explode(F.filter("spans", lambda s: s.kind == F.lit("media"))).alias("s")
+    ).select(F.col("s").media_ref.alias("media_ref")).where(F.col("media_ref").isNotNull())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, sizes = [], [], [], []
+            for ref in pdf["media_ref"]:
+                h = hashlib.sha256(ref.encode()).digest()
+                size = 128 * (2 + h[0] % 16)
+                payloads.append(
+                    b"".join(
+                        hashlib.sha256(f"{ref}:{j}".encode()).digest()
+                        for j in range(size // 32)
+                    )
+                )
+                widths.append(16 + h[1] % 64)
+                heights.append(16 + h[2] % 64)
+                sizes.append(size)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "bytes": sizes,
+                }
+            )
+
+    return refs.distinct().mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_variants(media: DataFrame) -> DataFrame:
+    """Append two derived copies per media row — the near-duplicates a web
+    corpus actually contains: ``#half`` (2x average-pooling downscale, the
+    thumbnail shape) and ``#jitter`` (low-bit XOR perturbation, standing in
+    for re-encode noise). Pure mapInPandas (narrow — fuses with the synth
+    and hash stages into one task pipeline, no shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "kind", "payload", "width", "height", "bytes")}
+
+            def emit(ref, kind, payload, w, h):
+                out["media_ref"].append(ref)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bytes"].append(len(payload))
+
+            for ref, kind, payload, w, h in zip(
+                pdf["media_ref"], pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                emit(ref, kind, payload, w, h)
+                half = ((arr[0::2].astype(np.uint16) + arr[1::2]) // 2).astype(np.uint8)
+                emit(ref + "#half", kind, half.tobytes(), w // 2, h // 2)
+                jit = arr ^ (np.arange(len(arr)) % 4).astype(np.uint8)
+                emit(ref + "#jitter", kind, jit.tobytes(), w, h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def phash64(media: DataFrame) -> DataFrame:
+    """(media_ref, phash): 64-bit chunk-mean hash — split the payload into
+    64 chunks (byte i -> chunk i*64//len), bit c = 1 iff chunk c's mean
+    exceeds the whole-payload mean, compared as integers
+    (64 * sum(chunk) > sum(all), exact cross-multiplication — no float
+    anywhere, so the DuckDB oracle reproduces every bit). Invariant under
+    2x average-pooling when 128 | len (chunk sums halve, the comparison is
+    scale-free; only //2 floor-rounding noise remains)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pows = np.uint64(1) << np.arange(PHASH_BITS, dtype=np.uint64)
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                if n % PHASH_BITS == 0:
+                    sums = arr.reshape(PHASH_BITS, n // PHASH_BITS).sum(axis=1)
+                else:  # ragged fallback: same i*64//n chunking, exact
+                    sums = np.zeros(PHASH_BITS, dtype=np.int64)
+                    np.add.at(sums, np.arange(n) * PHASH_BITS // n, arr)
+                bits = sums * PHASH_BITS > arr.sum()
+                v = int(pows[bits].sum())
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "phash": hashes})
+
+    return media.select("media_ref", "payload").mapInPandas(
+        kernel, "media_ref string, phash long"
+    )
+
+
+def media_phash_near_dup(
+    docs: DataFrame, max_hamming: int = 3, max_block_size: int = 100_000
+) -> DataFrame:
+    """(ref_a, ref_b, hamming): near-duplicate media pairs across the
+    corpus' media spans plus their derived copies — synth (aligned sizes)
+    -> variants -> phash64 are ONE narrow mapInPandas pipeline (no shuffle
+    until the block join), then the SimHash pigeonhole machinery blocks the
+    64-bit space soundly for ``max_hamming`` (4 x 16-bit chunks: any pair
+    within distance 3 shares an exact chunk). Random payloads collide at
+    ~2^-49, so surviving pairs are structural copies, not chance."""
+    from pyspider_spark.operators.dedup import simhash_near_pairs
+
+    sig = phash64(media_variants(synth_media_aligned(docs))).select(
+        F.col("media_ref").alias("doc"), F.col("phash").alias("simhash")
+    )
+    pairs = simhash_near_pairs(
+        sig, max_hamming=max_hamming, bits=PHASH_BITS, max_block_size=max_block_size
+    )
+    return pairs.select(
+        F.col("doc_a").alias("ref_a"), F.col("doc_b").alias("ref_b"), "hamming"
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the stub payloads: take every Nth byte as a
     frame marker — shape-identical to video frame extraction (one input

@@ -644,6 +644,89 @@ def multimodal_frames_sql(sf_dir: str, every_n_bytes: int = 64,
     """
 
 
+def media_phash_sql(sf_dir: str, hosts: int = 4, seed: int = 42,
+                    max_hamming: int = 3) -> str:
+    """Oracle for functions.multimodal.media_phash_near_dup: the aligned
+    payload stream (size = 128*(2 + h0 % 16)), its #half (2x average-pool)
+    and #jitter (XOR i%4) variants, and the 64-bit chunk-mean phash are all
+    recomputed INSIDE DuckDB from the same sha256 hex stream — every
+    comparison is integer (64*chunk_sum > total_sum), so both engines agree
+    bit-for-bit. Pairing mirrors the pigeonhole plan (4 x 16-bit blocks,
+    exact for hamming <= 3, same as simhash_pairs_sql's convention); the
+    hash lives as four 16-bit block ints, so no unsigned/sign juggling —
+    hamming = sum of per-block bit_count(xor)."""
+    ids = _doc_ids(sf_dir)
+    refs = ",\n            ".join(
+        f"('media://img/{_page_url_py(i, _page_host_py(i, hosts, seed))}')" for i in ids
+    )
+    return f"""
+        WITH refs(media_ref) AS (VALUES
+            {refs}
+        ),
+        s AS (
+            SELECT media_ref, lower(sha256(media_ref)) AS hx,
+                   128 * (2 + CAST(('0x' || substr(sha256(media_ref), 1, 2)) AS INTEGER) % 16) AS n
+            FROM refs
+        ),
+        blocks AS (
+            SELECT media_ref, n, unnest(range(0, CAST(n // 32 AS BIGINT))) AS j FROM s
+        ),
+        pb AS (
+            SELECT media_ref, n, j,
+                   lower(sha256(media_ref || ':' || CAST(j AS VARCHAR))) AS bh
+            FROM blocks
+        ),
+        p AS (
+            SELECT media_ref, n, string_agg(bh, '' ORDER BY j) AS ph
+            FROM pb GROUP BY media_ref, n
+        ),
+        f AS (
+            SELECT media_ref, n, ph, unnest(range(0, CAST(n AS BIGINT))) AS i FROM p
+        ),
+        b AS (
+            SELECT media_ref, n, i,
+                   CAST(('0x' || substr(ph, CAST(2 * i + 1 AS INTEGER), 2)) AS INTEGER) AS v
+            FROM f
+        ),
+        allv AS (
+            SELECT media_ref AS ref, n AS L, i, v FROM b
+            UNION ALL
+            SELECT media_ref || '#jitter', n, i, xor(v, CAST(i % 4 AS INTEGER)) FROM b
+            UNION ALL
+            SELECT media_ref || '#half', n // 2, i // 2,
+                   CAST(SUM(v) // 2 AS INTEGER)
+            FROM b GROUP BY media_ref, n, i // 2
+        ),
+        sums AS (
+            SELECT ref, (i * 64) // L AS c, SUM(v) AS sc
+            FROM allv GROUP BY ref, (i * 64) // L
+        ),
+        tot AS (SELECT ref, SUM(sc) AS st FROM sums GROUP BY ref),
+        blkv AS (
+            SELECT s.ref, CAST(s.c // 16 AS INTEGER) AS ck,
+                   CAST(SUM(CASE WHEN s.sc * 64 > t.st
+                                 THEN (1 << CAST(s.c % 16 AS INTEGER))
+                                 ELSE 0 END) AS INTEGER) AS blk
+            FROM sums s JOIN tot t USING (ref)
+            GROUP BY s.ref, s.c // 16
+        ),
+        cand AS (
+            SELECT a.ref AS ref_a, b.ref AS ref_b
+            FROM blkv a JOIN blkv b ON a.ck = b.ck AND a.blk = b.blk AND a.ref < b.ref
+            GROUP BY 1, 2
+        ),
+        ham AS (
+            SELECT c.ref_a, c.ref_b, SUM(bit_count(xor(x.blk, y.blk))) AS hamming
+            FROM cand c
+            JOIN blkv x ON x.ref = c.ref_a
+            JOIN blkv y ON y.ref = c.ref_b AND y.ck = x.ck
+            GROUP BY 1, 2
+        )
+        SELECT ref_a, ref_b, CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= {int(max_hamming)}
+    """
+
+
 def _lang_counts_sql(text_expr: str) -> str:
     """Per-language marker-hit count columns (c_en … c_cjk), mirroring
     functions.text.lang_guess's vote inputs."""
