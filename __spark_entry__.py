@@ -1157,6 +1157,94 @@ def q_media_near_dup(spark, sf):
     return media_phash_near_dup(docs, max_hamming=3)
 
 
+def _interleaved_mixed_corpus(spark, sf):
+    """Interleaved docs with planted cross-modal structure (m = doc_id % 10):
+    m==1 fully mirrors doc i-1 (its text, #half copies of its media);
+    m==3 shares media evidence only (#jitter copy of one of i-1's refs);
+    m==6 shares text only; every other doc is its own. Spans interleave
+    two 150-char text chunks with two media refs (offsets 0..3)."""
+    flat = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("_did"), "text"
+    )
+    prev = flat.select(F.col("_did").alias("_pid"), F.col("text").alias("_ptext"))
+    j = flat.join(prev, flat["_did"] - 1 == prev["_pid"], "left")
+    m = F.col("_did") % 10
+    has_prev = F.col("_pid").isNotNull()
+    t = F.when(m.isin(1, 6) & has_prev, F.col("_ptext")).otherwise(F.col("text"))
+
+    def ref(idc, k, suffix=""):
+        return F.concat(
+            F.lit("media://"), idc.cast("string"), F.lit(f"/{k}{suffix}")
+        )
+
+    media0 = (
+        F.when((m == 1) & has_prev, ref(F.col("_pid"), 0, "#half"))
+        .when((m == 3) & has_prev, ref(F.col("_pid"), 0, "#jitter"))
+        .otherwise(ref(F.col("_did"), 0))
+    )
+    media1 = F.when((m == 1) & has_prev, ref(F.col("_pid"), 1, "#half")).otherwise(
+        ref(F.col("_did"), 1)
+    )
+
+    def tspan(txt, off):
+        return F.struct(
+            F.lit("text").alias("kind"), txt.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    def mspan(r, off):
+        return F.struct(
+            F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+            r.alias("media_ref"), F.lit(off).alias("offset"),
+        )
+
+    return j.select(
+        F.concat(F.lit("d"), F.col("_did").cast("string")).alias("doc_id"),
+        F.array(
+            tspan(F.substring(t, 1, 150), 0),
+            mspan(media0, 1),
+            tspan(F.substring(t, 151, 150), 2),
+            mspan(media1, 3),
+        ).alias("spans"),
+    )
+
+
+def q_interleaved_near_dup(spark, sf):
+    """Doc-level near-dup over interleaved text+media documents: text
+    spans vote via minhash Jaccard, media spans vote via perceptual-hash
+    containment — mirrors, template farms (same text, different images)
+    and stock-photo reuse (same images, different text) separate into
+    votes=2 / by_text / by_media rows. Fully oracled."""
+    from pyspider_spark.functions.multimodal import (
+        media_variants,
+        phash64,
+        synth_media_aligned,
+    )
+    from pyspider_spark.operators.dedup import interleaved_near_dup
+
+    _literal_oracle_guard(sf)
+    docs = _interleaved_mixed_corpus(spark, sf)
+    base = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.explode(F.array(F.lit("/0"), F.lit("/1"))).alias("_sfx"),
+        F.concat(
+            F.lit("media://"), F.col("doc_id").cast("string"), F.col("_sfx")
+        ).alias("_ref"),
+    ).select(
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+                F.col("_ref").alias("media_ref"), F.lit(0).alias("offset"),
+            )
+        ).alias("spans")
+    )
+    hashes = phash64(media_variants(synth_media_aligned(base)))
+    return interleaved_near_dup(
+        docs, hashes, min_votes=1, minhash_threshold=0.7,
+        media_max_hamming=3, media_min_overlap=0.5,
+    )
+
+
 def q_crawl_flagship(spark, sf):
     """Full crawl over the interleaved corpus (3 rounds); VALUES-literal
     oracled, so the corpus dir must match the oracle generation dir."""
@@ -1236,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "media_near_dup": q_media_near_dup,
+        "interleaved_near_dup": q_interleaved_near_dup,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -1253,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oracles.multimodal_sql(oracle_sf),
         "multimodal_frames": oracles.multimodal_frames_sql(oracle_sf, every_n_bytes=63),
         "media_near_dup": oracles.media_phash_sql(oracle_sf, max_hamming=3),
+        "interleaved_near_dup": oracles.interleaved_near_dup_sql(),
         "r2_select_page": """
             WITH log AS (
                 SELECT CAST(user_id AS VARCHAR) AS taskid,

@@ -82,6 +82,9 @@ HEADLINE = [
     # round 5 session 7: media perceptual-hash near-dup (synth + variants
     # + phash64 one narrow mapInPandas pipeline, pigeonhole Hamming join)
     "media_near_dup",
+    # round 5 session 7: doc-level near-dup over interleaved text+media
+    # docs (minhash text vote + phash media-containment vote)
+    "interleaved_near_dup",
 ]
 
 CRAWL_TOTALS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}

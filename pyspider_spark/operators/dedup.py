@@ -1084,3 +1084,126 @@ def ensemble_near_dup(
         )
         .where(F.col("votes") >= int(min_votes))
     )
+
+
+def interleaved_near_dup(
+    docs: DataFrame,
+    media_hashes: DataFrame,
+    min_votes: int = 1,
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.7,
+    media_max_hamming: int = 3,
+    media_min_overlap: float = 0.5,
+    max_bucket_size: int = 1000,
+    max_block_size: int = 100_000,
+) -> DataFrame:
+    """(doc_a, doc_b, text_jaccard, media_overlap, by_text, by_media,
+    votes): DOCUMENT-level near-dup over INTERLEAVED text+media documents
+    (the input_hint shape: spans array<struct<kind,text,media_ref,offset>>)
+    — the dedup verb a multimodal corpus actually needs, where a mirror
+    re-hosts both the prose and the images, a template farm reuses text
+    around different images, and a stock-photo page reuses images around
+    different text. Text-only dedup merges the farm; media-only dedup
+    merges the stock pages; the two modalities VOTE separately and the
+    caller picks the consensus bar (``min_votes=2`` before destructive
+    removal, 1 for review queues).
+
+    Text evidence: the doc's text spans in offset order form its text
+    (``concat_ws`` after an offset ``array_sort`` — span ORDER is the
+    semantic content of an interleaved doc), then the standard
+    shingle→minhash→LSH→exact-Jaccard pipeline pairs docs at
+    ``minhash_threshold``.
+
+    Media evidence: the doc's media_ref set, where two refs match when
+    their perceptual hashes (``media_hashes``: (media_ref, phash) from
+    functions.multimodal.phash64 — in deployment, pHash over decoded
+    pixels) are within ``media_max_hamming``, including identity (the
+    same ref in both docs). Pair evidence = max directional containment
+    (matched refs / own refs, both directions) >= ``media_min_overlap``.
+
+    Scale shape: both evidence paths are bucketed candidate joins (LSH
+    bands / pigeonhole blocks), never all-pairs; the media doc-pair join
+    goes through THIN (doc, ref) and (ref, ref) tables; the final merge
+    is one full-outer join of two pair tables, each orders of magnitude
+    smaller than the corpus."""
+    texts = docs.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(filter(spans, s -> s.kind = 'text'), "
+                "(a, b) -> case when a.offset < b.offset then -1 "
+                "when a.offset > b.offset then 1 else 0 end), s -> s.text)"
+            ),
+        ).alias("text"),
+    )
+    mh = minhash_dedup(
+        texts, text_col="text", id_col=id_col,
+        threshold=minhash_threshold, max_bucket_size=max_bucket_size,
+    ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("text_jaccard"))
+
+    doc_media = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.filter("spans", lambda s: s.kind == F.lit("media"))).alias("s"),
+        )
+        .select("doc", F.col("s").media_ref.alias("media_ref"))
+        .where(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+    sig = media_hashes.select(
+        F.col("media_ref").alias("doc"), F.col("phash").alias("simhash")
+    )
+    rp = simhash_near_pairs(
+        sig, max_hamming=media_max_hamming, bits=64, max_block_size=max_block_size
+    ).select(F.col("doc_a").alias("rx"), F.col("doc_b").alias("ry"))
+    # symmetric closure + identity: matching is a relation over refs, and a
+    # ref shared verbatim by two docs is the strongest possible media match
+    refpairs = (
+        rp.union(rp.select(F.col("ry"), F.col("rx")))
+        .union(
+            media_hashes.select(
+                F.col("media_ref").alias("rx"), F.col("media_ref").alias("ry")
+            )
+        )
+        .distinct()
+    )
+    a = doc_media.select(F.col("doc").alias("doc_a"), F.col("media_ref").alias("rx"))
+    b = doc_media.select(F.col("doc").alias("doc_b"), F.col("media_ref").alias("ry"))
+    matches = (
+        a.join(refpairs, "rx")
+        .join(b, "ry")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct("rx").alias("m_a"),
+            F.countDistinct("ry").alias("m_b"),
+        )
+    )
+    counts = doc_media.groupBy("doc").agg(F.count(F.lit(1)).alias("n_m"))
+    md = (
+        matches.join(counts.select(F.col("doc").alias("doc_a"),
+                                   F.col("n_m").alias("n_a")), "doc_a")
+        .join(counts.select(F.col("doc").alias("doc_b"),
+                            F.col("n_m").alias("n_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.greatest(
+                    F.col("m_a") / F.col("n_a"), F.col("m_b") / F.col("n_b")
+                ), 4,
+            ).alias("media_overlap"),
+        )
+        .where(F.col("media_overlap") >= media_min_overlap)
+    )
+
+    out = mh.join(md, ["doc_a", "doc_b"], "full_outer")
+    return out.select(
+        "doc_a", "doc_b", "text_jaccard", "media_overlap",
+        F.col("text_jaccard").isNotNull().alias("by_text"),
+        F.col("media_overlap").isNotNull().alias("by_media"),
+        (
+            F.col("text_jaccard").isNotNull().cast("long")
+            + F.col("media_overlap").isNotNull().cast("long")
+        ).alias("votes"),
+    ).where(F.col("votes") >= int(min_votes))

@@ -644,29 +644,18 @@ def multimodal_frames_sql(sf_dir: str, every_n_bytes: int = 64,
     """
 
 
-def media_phash_sql(sf_dir: str, hosts: int = 4, seed: int = 42,
-                    max_hamming: int = 3) -> str:
-    """Oracle for functions.multimodal.media_phash_near_dup: the aligned
-    payload stream (size = 128*(2 + h0 % 16)), its #half (2x average-pool)
-    and #jitter (XOR i%4) variants, and the 64-bit chunk-mean phash are all
-    recomputed INSIDE DuckDB from the same sha256 hex stream — every
-    comparison is integer (64*chunk_sum > total_sum), so both engines agree
-    bit-for-bit. Pairing mirrors the pigeonhole plan (4 x 16-bit blocks,
-    exact for hamming <= 3, same as simhash_pairs_sql's convention); the
-    hash lives as four 16-bit block ints, so no unsigned/sign juggling —
-    hamming = sum of per-block bit_count(xor)."""
-    ids = _doc_ids(sf_dir)
-    refs = ",\n            ".join(
-        f"('media://img/{_page_url_py(i, _page_host_py(i, hosts, seed))}')" for i in ids
-    )
-    return f"""
-        WITH refs(media_ref) AS (VALUES
-            {refs}
-        ),
-        s AS (
-            SELECT media_ref, lower(sha256(media_ref)) AS hx,
+def _phash_blkv_sql(refs_cte: str) -> str:
+    """Shared CTE chain from a CTE ``refs_cte``(media_ref) to ``blkv``
+    (ref, ck, blk): the chained-sha256 payload stream (size =
+    128*(2 + h0 % 16)), its #half (2x average-pool) and #jitter (XOR i%4)
+    variants, and the 64-bit chunk-mean phash held as four 16-bit block
+    ints (no unsigned/sign juggling; hamming = sum of per-block
+    bit_count(xor)). Every comparison is integer (64*chunk_sum >
+    total_sum), so DuckDB agrees with the Spark kernel bit-for-bit."""
+    return f"""s AS (
+            SELECT media_ref,
                    128 * (2 + CAST(('0x' || substr(sha256(media_ref), 1, 2)) AS INTEGER) % 16) AS n
-            FROM refs
+            FROM {refs_cte}
         ),
         blocks AS (
             SELECT media_ref, n, unnest(range(0, CAST(n // 32 AS BIGINT))) AS j FROM s
@@ -709,7 +698,24 @@ def media_phash_sql(sf_dir: str, hosts: int = 4, seed: int = 42,
                                  ELSE 0 END) AS INTEGER) AS blk
             FROM sums s JOIN tot t USING (ref)
             GROUP BY s.ref, s.c // 16
+        )"""
+
+
+def media_phash_sql(sf_dir: str, hosts: int = 4, seed: int = 42,
+                    max_hamming: int = 3) -> str:
+    """Oracle for functions.multimodal.media_phash_near_dup: payloads,
+    variants, and hashes recomputed inside DuckDB (``_phash_blkv_sql``);
+    pairing mirrors the pigeonhole plan (4 x 16-bit blocks, exact for
+    hamming <= 3, same as simhash_pairs_sql's convention)."""
+    ids = _doc_ids(sf_dir)
+    refs = ",\n            ".join(
+        f"('media://img/{_page_url_py(i, _page_host_py(i, hosts, seed))}')" for i in ids
+    )
+    return f"""
+        WITH refs(media_ref) AS (VALUES
+            {refs}
         ),
+        {_phash_blkv_sql("refs")},
         cand AS (
             SELECT a.ref AS ref_a, b.ref AS ref_b
             FROM blkv a JOIN blkv b ON a.ck = b.ck AND a.blk = b.blk AND a.ref < b.ref
@@ -724,6 +730,114 @@ def media_phash_sql(sf_dir: str, hosts: int = 4, seed: int = 42,
         )
         SELECT ref_a, ref_b, CAST(hamming AS BIGINT) AS hamming
         FROM ham WHERE hamming <= {int(max_hamming)}
+    """
+
+
+def interleaved_near_dup_sql(
+    minhash_threshold: float = 0.7,
+    media_max_hamming: int = 3,
+    media_min_overlap: float = 0.5,
+    min_votes: int = 1,
+) -> str:
+    """Oracle for operators.dedup.interleaved_near_dup over the derived
+    mixed corpus (__spark_entry__._interleaved_mixed_corpus): doc i%10==1
+    mirrors doc i-1 in BOTH modalities (same text, #half media copies),
+    i%10==3 shares media evidence only (#jitter copy of one of i-1's
+    refs), i%10==6 shares text only. Text evidence re-runs the minhash
+    oracle over the span-concatenated text (two 150-char chunks — the
+    same substr/concat both engines compute); media evidence re-runs the
+    phash chain over the base refs + variants, pairs refs by pigeonhole
+    Hamming (plus identity), and scores doc pairs by max directional
+    containment of matched refs."""
+    iv_corpus = """
+            SELECT 'd' || CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN d.doc_id % 10 IN (1, 6) AND p.doc_id IS NOT NULL
+                        THEN p.text ELSE d.text END AS t,
+                   CASE WHEN d.doc_id % 10 = 1 AND p.doc_id IS NOT NULL
+                        THEN 'media://' || CAST(p.doc_id AS VARCHAR) || '/0#half'
+                        WHEN d.doc_id % 10 = 3 AND p.doc_id IS NOT NULL
+                        THEN 'media://' || CAST(p.doc_id AS VARCHAR) || '/0#jitter'
+                        ELSE 'media://' || CAST(d.doc_id AS VARCHAR) || '/0' END AS r0,
+                   CASE WHEN d.doc_id % 10 = 1 AND p.doc_id IS NOT NULL
+                        THEN 'media://' || CAST(p.doc_id AS VARCHAR) || '/1#half'
+                        ELSE 'media://' || CAST(d.doc_id AS VARCHAR) || '/1' END AS r1
+            FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+    """
+    text_table = (
+        "(SELECT doc_id, substr(t, 1, 150) || ' ' || substr(t, 151, 150) AS itext "
+        f"FROM ({iv_corpus}) ivc) ivx"
+    )
+    mh_sql = minhash_pairs_sql(
+        k=5, n_hashes=32, bands=8, rows=4, threshold=minhash_threshold,
+        table=text_table, id_col="doc_id", text_col="itext",
+    )
+    return f"""
+        WITH iv AS ({iv_corpus}),
+        baserefs AS (
+            SELECT 'media://' || CAST(doc_id AS VARCHAR) || '/' || sfx AS media_ref
+            FROM documents, (VALUES ('0'), ('1')) AS sx(sfx)
+        ),
+        {_phash_blkv_sql("baserefs")},
+        rcand AS (
+            SELECT a.ref AS rx, b.ref AS ry
+            FROM blkv a JOIN blkv b ON a.ck = b.ck AND a.blk = b.blk AND a.ref < b.ref
+            GROUP BY 1, 2
+        ),
+        rham AS (
+            SELECT c.rx, c.ry
+            FROM rcand c
+            JOIN blkv x ON x.ref = c.rx
+            JOIN blkv y ON y.ref = c.ry AND y.ck = x.ck
+            GROUP BY c.rx, c.ry
+            HAVING SUM(bit_count(xor(x.blk, y.blk))) <= {int(media_max_hamming)}
+        ),
+        refpairs AS (
+            SELECT rx, ry FROM rham
+            UNION SELECT ry, rx FROM rham
+            UNION SELECT DISTINCT ref, ref FROM blkv
+        ),
+        dm AS (
+            SELECT doc_id AS doc, r0 AS media_ref FROM iv
+            UNION SELECT doc_id, r1 FROM iv
+        ),
+        mm AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   COUNT(DISTINCT a.media_ref) AS m_a,
+                   COUNT(DISTINCT b.media_ref) AS m_b
+            FROM dm a
+            JOIN refpairs r ON r.rx = a.media_ref
+            JOIN dm b ON b.media_ref = r.ry
+            WHERE a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        cnt AS (SELECT doc, COUNT(*) AS n_m FROM dm GROUP BY doc),
+        md AS (
+            SELECT doc_a, doc_b, media_overlap FROM (
+                SELECT mm.doc_a, mm.doc_b,
+                       ROUND(GREATEST(CAST(mm.m_a AS DOUBLE) / ca.n_m,
+                                      CAST(mm.m_b AS DOUBLE) / cb.n_m), 4)
+                           AS media_overlap
+                FROM mm
+                JOIN cnt ca ON ca.doc = mm.doc_a
+                JOIN cnt cb ON cb.doc = mm.doc_b
+            ) WHERE media_overlap >= {float(media_min_overlap)}
+        ),
+        mh AS (
+            SELECT doc_a, doc_b, jaccard AS text_jaccard FROM (
+                {mh_sql}
+            )
+        )
+        SELECT * FROM (
+            SELECT COALESCE(mh.doc_a, md.doc_a) AS doc_a,
+                   COALESCE(mh.doc_b, md.doc_b) AS doc_b,
+                   mh.text_jaccard, md.media_overlap,
+                   (mh.doc_a IS NOT NULL) AS by_text,
+                   (md.doc_a IS NOT NULL) AS by_media,
+                   CAST(mh.doc_a IS NOT NULL AS BIGINT)
+                       + CAST(md.doc_a IS NOT NULL AS BIGINT) AS votes
+            FROM mh FULL OUTER JOIN md
+              ON mh.doc_a = md.doc_a AND mh.doc_b = md.doc_b
+        ) WHERE votes >= {int(min_votes)}
     """
 
 
