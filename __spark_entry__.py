@@ -31,8 +31,27 @@ import numpy as np
 _QUERY_VEC = [round(float(x), 6) for x in np.random.RandomState(7).randn(64)]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None) -> DataFrame:
+    """Read a testdata table. ``spread``: the CPU-heavy text/vector tables
+    (documents, embeddings) ship as ONE parquet row group locally, so the
+    whole scan stage — and with it every row-local kernel (shingling,
+    signature transforms, gram hashing) up to the first exchange — runs as
+    ONE task no matter the core count (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read"). When
+    the scan yields fewer splits than cores, round-robin repartition to
+    the core count; at cluster scale input files outnumber cores and this
+    is a no-op, so the rule is scale-adaptive, not a local[32] constant.
+    PageRank opts out (spread=False): its per-iteration double sums are
+    the one documents consumer whose low-order float bits depend on
+    partial-aggregation order."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread is None:
+        spread = name in ("documents", "embeddings")
+    if spread:
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
+    return df
 
 
 # ADVICE r03 (medium): the flagship/multimodal oracles are VALUES literals
@@ -533,7 +552,7 @@ def q_pagerank(spark, sf):
     unrolls the same iterations as materialized DuckDB CTEs."""
     from pyspider_spark.operators.graph import doc_pagerank
 
-    return doc_pagerank(_t(spark, sf, "documents"))
+    return doc_pagerank(_t(spark, sf, "documents", spread=False))
 
 
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
@@ -1163,7 +1182,7 @@ def _interleaved_mixed_corpus(spark, sf):
     m==3 shares media evidence only (#jitter copy of one of i-1's refs);
     m==6 shares text only; every other doc is its own. Spans interleave
     two 150-char text chunks with two media refs (offsets 0..3)."""
-    flat = spark.read.parquet(f"{sf}/documents.parquet").select(
+    flat = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("_did"), "text"
     )
     prev = flat.select(F.col("_did").alias("_pid"), F.col("text").alias("_ptext"))
@@ -1225,7 +1244,7 @@ def q_interleaved_near_dup(spark, sf):
 
     _literal_oracle_guard(sf)
     docs = _interleaved_mixed_corpus(spark, sf)
-    base = spark.read.parquet(f"{sf}/documents.parquet").select(
+    base = _t(spark, sf, "documents").select(
         F.explode(F.array(F.lit("/0"), F.lit("/1"))).alias("_sfx"),
         F.concat(
             F.lit("media://"), F.col("doc_id").cast("string"), F.col("_sfx")

@@ -243,9 +243,15 @@ def media_phash_near_dup(
     ~2^-49, so surviving pairs are structural copies, not chance."""
     from pyspider_spark.operators.dedup import simhash_near_pairs
 
+    # persist: the pigeonhole machinery consumes the signature table from
+    # several plan branches (block counts + both join sides); without the
+    # cache each branch re-runs the synth -> variants -> phash Python
+    # pipeline (~sha256-per-128-bytes per payload) — the executed plan
+    # carried 24 MapInPandas nodes for 3 logical stages (guide §5:
+    # persist when recomputing is the expensive side)
     sig = phash64(media_variants(synth_media_aligned(docs))).select(
         F.col("media_ref").alias("doc"), F.col("phash").alias("simhash")
-    )
+    ).persist()
     pairs = simhash_near_pairs(
         sig, max_hamming=max_hamming, bits=PHASH_BITS, max_block_size=max_block_size
     )

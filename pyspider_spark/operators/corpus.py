@@ -164,7 +164,21 @@ def ngram_contamination(
             F.col(id_col).alias("doc"), _words(F.col(tc)).alias("w")
         ).select("doc", F.array_distinct(_word_ngrams("w", n)).alias("grams"))
 
-    dg = gram_table(docs, text_col)
+    # the corpus tokenize + gram + md5 pass feeds BOTH output branches
+    # (the hit join and the per-doc gram count); reduce it ONCE to thin
+    # per-row hash arrays and persist, so the expensive pass runs a single
+    # time (guide §5: persist when recomputation is the expensive side —
+    # previously the whole gram pipeline ran twice). Hashing before the
+    # explode is value-identical: the hash is per distinct gram string
+    # either way.
+    dg = (
+        gram_table(docs, text_col)
+        .select(
+            "doc",
+            F.transform(F.col("grams"), lambda g: md5_hash56(g)).alias("ghs"),
+        )
+        .persist()
+    )
     bench_hashes = F.broadcast(
         gram_table(benchmark, bench_text_col)
         .select(F.explode("grams").alias("g"))
@@ -172,14 +186,13 @@ def ngram_contamination(
         .distinct()
     )
     hits = (
-        dg.select("doc", F.explode("grams").alias("g"))
-        .select("doc", md5_hash56(F.col("g")).alias("gh"))
+        dg.select("doc", F.explode("ghs").alias("gh"))
         .join(bench_hashes, "gh")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("_hits"))
     )
     return (
-        dg.select("doc", F.size("grams").cast("long").alias("n_grams"))
+        dg.select("doc", F.size("ghs").cast("long").alias("n_grams"))
         .join(hits, "doc", "left")
         .select(
             F.col("doc").alias(id_col),

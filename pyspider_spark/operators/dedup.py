@@ -223,8 +223,17 @@ def jaccard_verify_sets(
     # intersection — AQE coalesces it by size to a handful of partitions
     # and serializes the compute; spread it across the cluster explicitly
     pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
+    # sound size-ratio prefilter (the AllPairs length bound): J(A,B) >= t
+    # implies |A∩B| <= min and |A∪B| >= max, so min >= t * max — a pair
+    # failing it can NEVER clear the threshold, so dropping it before the
+    # O(|A|+|B|) intersection preserves the output exactly (the 1e-9 slack
+    # covers double rounding of t * max; the true bound is rational)
+    size_ok = F.least("n_a", "n_b").cast("double") >= F.lit(
+        float(threshold) - 1e-9
+    ) * F.greatest("n_a", "n_b").cast("double")
     return (
         pairs.join(a, "doc_a").join(b, "doc_b")
+        .where(size_ok)
         .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
@@ -584,7 +593,13 @@ def incremental_minhash_probe(
         F.col("doc").alias("doc_old"), F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
-    joined = pairs.join(a, "doc_new").join(b, "doc_old")
+    # same sound size-ratio prefilter as jaccard_verify_sets: J >= t
+    # implies min(|A|,|B|) >= t * max(|A|,|B|), so the cut is
+    # output-preserving and skips the O(|A|+|B|) intersection
+    size_ok = F.least("n_a", "n_b").cast("double") >= F.lit(
+        float(threshold) - 1e-9
+    ) * F.greatest("n_a", "n_b").cast("double")
+    joined = pairs.join(a, "doc_new").join(b, "doc_old").where(size_ok)
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
@@ -697,15 +712,31 @@ def allpairs_exact_pairs(
         .persist()
     )
     t = toks.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
-    dft = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = t.join(dft, "tok").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("tok").asc())
-        ),
+    # a token with df = 1 exists in exactly one doc: it can never match in
+    # the candidate join, so it needs no rank row — but it DOES occupy the
+    # rarest prefix slots (df asc orders all df=1 tokens before any shared
+    # token). Since every df=1 token of a doc sorts before every df>=2
+    # token, rank(shared token) = (#df=1 tokens in doc) + rank among the
+    # shared tokens — computed as n - n_shared + row_number, with the
+    # per-doc shared count riding the SAME window partitioning. The window
+    # sort input shrinks to the shared-token instances only, and the
+    # df-table join carries the (usually much smaller) df>=2 vocabulary.
+    # Output-identical: dropped df=1 prefix rows join to nothing (bucket
+    # size 1 also never trips the guard).
+    dft2 = (
+        t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
     )
+    shared = t.join(dft2, "tok")
+    w_doc = Window.partitionBy("doc")
+    ranked = shared.withColumn(
+        "rk",
+        F.row_number().over(w_doc.orderBy(F.col("df").asc(), F.col("tok").asc())),
+    ).withColumn("_n2", F.count(F.lit(1)).over(w_doc))
     plen = F.col("n") - F.expr(f"(n * {num} + {den - 1}) div {den}") + F.lit(1)
-    prefix = ranked.where(F.col("rk") <= plen).select("doc", "n", "tok")
+    prefix = ranked.where(
+        F.col("n") - F.col("_n2") + F.col("rk") <= plen
+    ).select("doc", "n", "tok")
     if max_bucket_size is not None:
         prefix = _guard_buckets(prefix, ["tok"], max_bucket_size)
     a = prefix.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "tok")
@@ -1126,6 +1157,13 @@ def interleaved_near_dup(
     goes through THIN (doc, ref) and (ref, ref) tables; the final merge
     is one full-outer join of two pair tables, each orders of magnitude
     smaller than the corpus."""
+    # persist: the media-vote machinery reads this table from several plan
+    # branches (simhash blocking counts + both join sides, plus the
+    # identity closure) — when the caller derives it from an expensive
+    # Python pipeline (phash64 over synthesized payloads) every branch
+    # would re-run that pipeline (the executed plan carried 54
+    # MapInPandas nodes before; guide §5)
+    media_hashes = media_hashes.persist()
     texts = docs.select(
         F.col(id_col),
         F.concat_ws(
