@@ -37,39 +37,8 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_fixed(a: Column, b: Column, dims: int) -> Column:
-    """``dot`` unrolled for a KNOWN vector length: higher-order lambdas are
-    interpreted per element (no codegen), so on hot per-pair paths the fold
-    dominates; the unrolled sum is whole-stage-codegen arithmetic.
-    Bit-identical to :func:`dot` — same 0.0-seeded left-fold addition order
-    ((0+p0)+p1)+..., same per-element double products, and an out-of-range
-    access nulls the sum exactly like zip_with's null padding."""
-    acc: Column = F.lit(0.0)
-    for i in range(int(dims)):
-        acc = acc + (F.get(a, i) * F.get(b, i)).cast("double")
-    return acc
-
-
-def dot_lit(a: Column, values) -> Column:
-    """``dot`` against a DRIVER-side constant vector, unrolled with the
-    constants inlined as literals (same fold order as :func:`dot`)."""
-    acc: Column = F.lit(0.0)
-    for i, x in enumerate(values):
-        acc = acc + (F.get(a, i) * F.lit(float(x))).cast("double")
-    return acc
-
-
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
-
-
-def norm_fixed(a: Column, dims: int) -> Column:
-    """``norm`` unrolled for a KNOWN vector length (see dot_fixed)."""
-    acc: Column = F.lit(0.0)
-    for i in range(int(dims)):
-        v = F.get(a, i)
-        acc = acc + (v * v).cast("double")
-    return F.sqrt(acc)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -104,10 +73,16 @@ def table_planes(dims: int, n_planes: int, n_tables: int, seed: int) -> list[np.
 
 
 def rh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane bit signature as a long (n_planes <= 63)."""
+    """Random-hyperplane bit signature as a long (n_planes <= 63).
+
+    Deliberately the HOF fold, not an unrolled element sum: an unrolled
+    form (measured, r06) overflows janino codegen in the fused signature
+    projection and the compile-fail + interpreted fallback ran ~2x
+    slower end-to-end."""
     bits = []
     for i, p in enumerate(planes):
-        bit = F.when(dot_lit(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
         bits.append(bit)
@@ -287,9 +262,6 @@ def _ivf_stamp(n_cells: int, seed: int, centroids: np.ndarray | None) -> str:
 def _cell_expr(vec: Column, centroids: np.ndarray) -> Column:
     """1-indexed nearest-centroid id by cosine (vectors scored against
     unit centroids, so dot == cosine ranking)."""
-    # NOT unrolled (cf. dot_lit): 16 cells x 64-term trees with the norm
-    # re-expanded per cell overflow codegen/driver heap; the HOF form is
-    # evaluated once per row on an untimed path
     sims = F.array(*[
         dot(vec, F.array(*[F.lit(float(x)) for x in c])) / norm(vec)
         for c in centroids
@@ -378,7 +350,7 @@ def embedding_near_dup_pairs(
     # larger); na*nb below is bit-identical to norm(va)*norm(vb)
     base = embeddings.select(
         F.col(id_col).alias("doc"), vec.alias("v")
-    ).withColumn("nv", norm_fixed(F.col("v"), dims))
+    ).withColumn("nv", norm(F.col("v")))
     bands = table_planes(dims, planes_per_band, n_bands, seed)
     band_cols = [
         F.struct(F.lit(t).alias("band"), rh_signature(F.col("v"), planes).alias("bsig"))
@@ -410,8 +382,7 @@ def embedding_near_dup_pairs(
     return (
         cand.join(va, "doc_a").join(vb, "doc_b")
         .withColumn(
-            "cos_sim",
-            dot_fixed(F.col("va"), F.col("vb"), dims) / (F.col("na") * F.col("nb")),
+            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
@@ -456,7 +427,7 @@ def semdedup_keep(
     base = embeddings.select(
         F.col(id_col).alias("doc"), vec.alias("v"),
         _cell_expr(vec, cents).cast("int").alias("cell"),
-    ).withColumn("nv", norm_fixed(F.col("v"), dims))
+    ).withColumn("nv", norm(F.col("v")))
     counts = base.groupBy("cell").agg(F.count("*").alias("_n"))
     thin = base.select("doc", "cell").join(
         F.broadcast(counts.where(F.col("_n") <= max_cluster_size).select("cell")),
@@ -476,7 +447,7 @@ def semdedup_keep(
     )
     dups = (
         cand.join(va, "doc_a").join(vb, "doc_b")
-        .where(dot_fixed(F.col("va"), F.col("vb"), dims) / (F.col("na") * F.col("nb"))
+        .where(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
                >= F.lit(float(threshold)))
         .select(F.col("doc_b").alias("doc"))
         .distinct()
