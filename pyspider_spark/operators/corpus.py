@@ -590,19 +590,19 @@ def dup_substring_spans(
     (boilerplate sentences in millions of docs) skew the doc-frequency
     reduce; map-side partials absorb them, and the join back is
     probe-side-skewed only, which AQE skew splitting handles."""
+    # persisted at the ARRAY level, before the explode: the gram pipeline
+    # feeds both the doc-frequency branch and the hit join (the r5 1.75x
+    # persist), and — measured r06 at sf1.0 — a Generate whose input is
+    # the computed transform/md5 expression cost 25s where the same
+    # pipeline as a plain projection cost 4s; posexplode from a CACHED
+    # attribute costs ~0.4s. Cached rows are thin (doc, array<long>).
     per_doc = docs.select(
         F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("w")
     ).select(
         "doc",
         F.transform(_word_ngrams("w", n), lambda g: md5_hash56(g)).alias("ghs"),
-    )
-    # persisted: the exploded gram table feeds BOTH the doc-frequency
-    # branch and the hit join — without the cache the tokenize + md5 of
-    # every gram runs twice (measured 1.75x at sf0.1, interleaved A/B).
-    # The cached rows are thin (doc, pos, 8-byte gh); at corpus scale the
-    # default MEMORY_AND_DISK level spills partition-local, still cheaper
-    # than re-hashing the corpus.
-    pos = per_doc.select("doc", F.posexplode("ghs").alias("pos", "gh")).persist()
+    ).persist()
+    pos = per_doc.select("doc", F.posexplode("ghs").alias("pos", "gh"))
     dup = (
         pos.select("doc", "gh")
         .distinct()

@@ -21,6 +21,7 @@ gate (pyspider_spark/oracles.py generates the mirrors).
 
 from __future__ import annotations
 
+import os
 from math import ceil
 
 import pandas as pd
@@ -204,6 +205,36 @@ def jaccard_verify(
     return jaccard_verify_sets(pairs, sets, threshold)
 
 
+# when the whole per-doc set table (sum of array bytes) fits under this
+# bound, the verify joins broadcast it instead of sort-merge-shuffling
+# |pairs| x two fat arrays (measured at sf1.0: 8.5M candidate pairs x
+# ~2.3 KB arrays = a ~40 GB SMJ shuffle, 47 s; broadcast verify 17 s).
+# At corpus scale the probe reports a size over the bound and the join
+# stays keyed — the adaptive broadcast-when-it-fits rule of guide §3.1.
+SETS_BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SETS_BROADCAST_MAX", str(256 << 20))
+)
+
+
+def _fits_broadcast(df: DataFrame, n_elems) -> bool:
+    """One cheap agg job estimating a per-doc array table's in-memory
+    bytes (``n_elems``: per-row element-count column/expression). Size
+    estimates from Catalyst are unreliable after opaque transforms, so
+    probe the real number (guide §3.1: estimates are often badly wrong;
+    hint when you know)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(n_elems).alias("tot")
+    ).first()
+    if not row or row["n"] is None or row["tot"] is None:
+        return False
+    est = int(row["tot"]) * 8 + int(row["n"]) * 32
+    return est <= SETS_BROADCAST_MAX_BYTES
+
+
+def _sets_fit_broadcast(sets: DataFrame) -> bool:
+    return _fits_broadcast(sets, F.col("n_sh"))
+
+
 def jaccard_verify_sets(
     pairs: DataFrame, sets: DataFrame, threshold: float = 0.7
 ) -> DataFrame:
@@ -211,13 +242,23 @@ def jaccard_verify_sets(
     ``sets`` = (doc, sh: array<long>, n_sh) — the join/intersection core
     shared by the exploded-input wrapper above and the array-form
     pipeline (where ``sets`` derives per-row from shingle_sets with no
-    aggregation)."""
+    aggregation).
+
+    Shape (r06): the set table broadcasts when its probed size fits
+    (else keyed joins — the 100-TB fallback); the intersection size
+    lands in ONE projection materialized thin (5 longs per pair) behind
+    a persist barrier, because filter pushdown otherwise clones the
+    array_intersect across the Filter/Project boundary and evaluates it
+    2x per pair (measured 17 s -> 11.7 s at sf1.0)."""
+    fit = _sets_fit_broadcast(sets)
     a = sets.select(
         F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
     b = sets.select(
         F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
     )
+    if fit:
+        a, b = F.broadcast(a), F.broadcast(b)
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     # the pair table is BYTE-small but each row costs an O(|A|+|B|) set
     # intersection — AQE coalesces it by size to a handful of partitions
@@ -231,11 +272,14 @@ def jaccard_verify_sets(
     size_ok = F.least("n_a", "n_b").cast("double") >= F.lit(
         float(threshold) - 1e-9
     ) * F.greatest("n_a", "n_b").cast("double")
-    return (
+    thin = (
         pairs.join(a, "doc_a").join(b, "doc_b")
         .where(size_ok)
-        .withColumn("n_inter", n_inter)
-        .withColumn(
+        .select("doc_a", "doc_b", "n_a", "n_b", n_inter.alias("n_inter"))
+        .persist()
+    )
+    return (
+        thin.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -593,17 +637,29 @@ def incremental_minhash_probe(
         F.col("doc").alias("doc_old"), F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
-    # same sound size-ratio prefilter as jaccard_verify_sets: J >= t
-    # implies min(|A|,|B|) >= t * max(|A|,|B|), so the cut is
-    # output-preserving and skips the O(|A|+|B|) intersection
+    # same verify shape as jaccard_verify_sets (r06): broadcast each side
+    # that fits (probed, not estimated; keyed join at corpus scale), sound
+    # size-ratio prefilter, and the intersection computed ONCE into a thin
+    # persisted row so filter pushdown can't clone it across the boundary
+    if _sets_fit_broadcast(new_sets):
+        a = F.broadcast(a)
+    if _sets_fit_broadcast(archive_sets):
+        b = F.broadcast(b)
     size_ok = F.least("n_a", "n_b").cast("double") >= F.lit(
         float(threshold) - 1e-9
     ) * F.greatest("n_a", "n_b").cast("double")
-    joined = pairs.join(a, "doc_new").join(b, "doc_old").where(size_ok)
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
+    thin = (
+        pairs.join(a, "doc_new").join(b, "doc_old")
+        .where(size_ok)
+        .select("doc_new", "doc_old", "n_a", "n_b", n_inter.alias("n_inter"))
+        .persist()
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
     return (
-        joined.withColumn("_j", jac)
+        thin.withColumn("_j", jac)
         .where(F.col("_j") >= threshold)
         .select("doc_new", "doc_old", F.round("_j", 4).alias("jaccard"))
     )
@@ -701,6 +757,12 @@ def allpairs_exact_pairs(
             F.lit("[a-z0-9]+"), 0,
         ).alias("w"),
     )
+    # no ``where(size(toks) > 0)`` guard (r06): predicate pushdown clones
+    # the whole gram+hash pipeline into an interpreted filter predicate
+    # below the projection (measured 0.9 s -> 29.5 s at sf1.0 for the
+    # materialization), and the guard is semantically redundant — a doc
+    # with an empty token set emits no exploded rows, so it can never
+    # enter the prefix, the candidate join, or the verify output.
     toks = (
         words.select(
             "doc",
@@ -708,7 +770,6 @@ def allpairs_exact_pairs(
                 F.transform(_word_ngrams("w", int(ngram)), lambda g: md5_hash56(g))
             ).alias("toks"),
         )
-        .where(F.size("toks") > 0)
         .persist()
     )
     t = toks.select("doc", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
@@ -755,12 +816,21 @@ def allpairs_exact_pairs(
     cand = cand.repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
     ta = toks.select(F.col("doc").alias("doc_a"), F.col("toks").alias("t_a"))
     tb = toks.select(F.col("doc").alias("doc_b"), F.col("toks").alias("t_b"))
+    # same verify shape as jaccard_verify_sets (r06): broadcast the token
+    # table when its probed size fits (keyed join at corpus scale), and
+    # materialize the intersection size ONCE into thin persisted rows so
+    # the integer gate can't clone array_intersect across the boundary
+    if _fits_broadcast(toks, F.size("toks")):
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     n_inter = F.size(F.array_intersect("t_a", "t_b"))
-    return (
+    thin = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .withColumn("n_inter", n_inter)
-        .where(
+        .select("doc_a", "doc_b", "n_a", "n_b", n_inter.alias("n_inter"))
+        .persist()
+    )
+    return (
+        thin.where(
             F.col("n_inter") * den
             >= num * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
