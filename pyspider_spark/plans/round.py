@@ -339,7 +339,14 @@ def run_round(
         # URL-seen prefilter: bloom negatives are DEFINITELY new ⇒ plain
         # inserts, no frontier join; positives take the exact route join
         # (which also resolves restart rules). Sound: no false negatives.
+        # Both split halves persist (and unpersist with the round): the
+        # probe UDF + route join otherwise re-run once per downstream
+        # branch — updates, inserts, postponed and the stats union each
+        # pulled their own evaluation (measured ~4x the probe per round)
         definitely_new, maybe_seen = bloom.split_candidates(merged_cands)
+        definitely_new = definitely_new.persist()
+        maybe_seen = maybe_seen.persist()
+        split_cached = (definitely_new, maybe_seen)
         bloom_inserts, _ = route_candidates(
             f2.limit(0), definitely_new, now, round_no, with_qdelta=True
         )
@@ -348,6 +355,7 @@ def run_round(
         )
         inserts = inserts.unionByName(bloom_inserts)
     else:
+        split_cached = ()
         updates, inserts, postponed = route_candidates(
             f2, merged_cands, now, round_no, split=True, with_qdelta=True,
         )
@@ -449,7 +457,7 @@ def run_round(
         # unpersisted once the round commits; postponed is safe to drop
         # there because _loop eagerly materializes the replay set
         # (bound_postponed) before out.unpersist()
-        cached=(merged_cands, updates, inserts, postponed),
+        cached=(merged_cands, updates, inserts, postponed, *split_cached),
         results_count=sum(stats.get("results", {}).values()),
         postponed_count=sum(stats.get("postponed", {}).values()),
         routed_count=sum(stats.get("inserted", {}).values())
