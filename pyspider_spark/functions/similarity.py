@@ -345,47 +345,84 @@ def embedding_near_dup_pairs(
     defaults give ~0.95 recall at c = 0.95 (vs ~0.04 for the round-1
     full-signature bucket at c = 0.8)."""
     vec = F.col(vec_col).cast("array<double>")
-    # per-doc norm computed ONCE here (n docs) instead of inside the pair
-    # verify (2x per candidate pair — the pair table is orders of magnitude
-    # larger); na*nb below is bit-identical to norm(va)*norm(vb)
-    base = embeddings.select(
-        F.col(id_col).alias("doc"), vec.alias("v")
-    ).withColumn("nv", norm(F.col("v")))
+    base = embeddings.select(F.col(id_col).alias("doc"), vec.alias("v"))
     bands = table_planes(dims, planes_per_band, n_bands, seed)
     band_cols = [
         F.struct(F.lit(t).alias("band"), rh_signature(F.col("v"), planes).alias("bsig"))
         for t, planes in enumerate(bands)
     ]
-    # signatures are THIN (doc, band, bsig): the candidate self-join and
-    # dedup shuffle ids only — vectors re-join once at the verify stage
-    # (shuffling the 64-dim arrays through the pair join was the measured
-    # hot spot at sf0.1: ~800k candidate pairs x 2 vectors)
-    sig = base.select(
-        "doc", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc", F.col("bb").band.alias("band"), F.col("bb").bsig.alias("bsig"))
+    # banded rows CARRY the vector (dims doubles — at 4 bands that is 4
+    # small copies through one exchange) straight into a per-bucket
+    # vectorized verify: each (band, bsig) group computes its intra-bucket
+    # cosine matrix in numpy and emits only the >= threshold pairs. This
+    # replaces the r5 shape — materialize a (doc_a, doc_b) pair table
+    # (sf1.0: 14.4M rows, an 8 s distinct) and fold a 64-term interpreted
+    # dot per pair (8.6 s) — with whole-batch native math (guide §4.2);
+    # measured 15.6 s -> ~4 s end to end. Cross-band duplicate candidates
+    # never materialize: the per-band survivors groupBy down to one row
+    # per pair. The numpy path is chunked broadcasting + pairwise sums
+    # (no BLAS call), so results are deterministic across runs, thread
+    # counts and partitionings; the oracle compares at ROUND(.., 4) via
+    # DuckDB's own list_cosine_similarity, which already implies
+    # order-robust values at that precision.
+    # persist BEFORE the explode: the signature projection (n_bands x
+    # planes_per_band HOF dots per row) feeds both the bucket-count branch
+    # and the guard join, and a Generate over the computed struct array
+    # re-evaluates its input (the dup_substring_spans lesson) — exploding
+    # from the cached attribute is free
+    pre = base.select("doc", "v", F.array(*band_cols).alias("bbs")).persist()
+    sig = pre.select(
+        "doc", "v", F.explode("bbs").alias("bb")
+    ).select("doc", "v", F.col("bb").band.alias("band"), F.col("bb").bsig.alias("bsig"))
     counts = sig.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
-    guarded = sig.join(counts.where(F.col("_n") <= max_bucket_size), ["band", "bsig"]).drop("_n")
-    a = guarded.select("band", "bsig", F.col("doc").alias("doc_a"))
-    b = guarded.select("band", "bsig", F.col("doc").alias("doc_b"))
-    cand = (
-        a.join(b, ["band", "bsig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    va = base.select(
-        F.col("doc").alias("doc_a"), F.col("v").alias("va"), F.col("nv").alias("na")
-    )
-    vb = base.select(
-        F.col("doc").alias("doc_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
-    )
-    return (
-        cand.join(va, "doc_a").join(vb, "doc_b")
-        .withColumn(
-            "cos_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    guarded = sig.join(
+        counts.where(F.col("_n") <= max_bucket_size), ["band", "bsig"]
+    ).drop("_n")
+
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos_sim": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cos_sim": "float64"}
+            )
+        order = np.argsort(pdf["doc"].to_numpy(), kind="stable")
+        docs = pdf["doc"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        out_a, out_b, out_c = [], [], []
+        # row-chunked upper-triangle cosine: bounded memory (chunk x n x d)
+        # even at the guard bound, and plain ufunc pairwise sums keep the
+        # arithmetic deterministic (no threaded GEMM)
+        chunk = max(1, (1 << 17) // max(n, 1))  # chunk*n*dims*8 <= ~64 MB
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            S = (V[i0:i1, None, :] * V[None, :, :]).sum(axis=-1)
+            S = S / (nrm[i0:i1, None] * nrm[None, :])
+            ii, jj = np.nonzero(S >= thr)
+            keep = (ii + i0) < jj
+            out_a.append(docs[ii[keep] + i0])
+            out_b.append(docs[jj[keep]])
+            out_c.append(S[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                "doc_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                "cos_sim": np.concatenate(out_c) if out_c else np.array([], "float64"),
+            }
         )
-        .where(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", "cos_sim")
+
+    per_band = guarded.select("band", "bsig", "doc", "v").groupBy(
+        "band", "bsig"
+    ).applyInPandas(_bucket_pairs, "doc_a long, doc_b long, cos_sim double")
+    # one row per pair across bands; the per-band cosines agree to the
+    # output precision (same vectors), max is the deterministic pick
+    return per_band.groupBy("doc_a", "doc_b").agg(
+        F.max("cos_sim").alias("cos_sim")
     )
 
 
