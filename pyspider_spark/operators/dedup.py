@@ -1249,6 +1249,9 @@ def interleaved_near_dup(
         threshold=minhash_threshold, max_bucket_size=max_bucket_size,
     ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("text_jaccard"))
 
+    # persisted: consumed from three branches (both containment join
+    # sides + the per-doc ref counts) — each would re-run the span
+    # explode over the caller's corpus build otherwise
     doc_media = (
         docs.select(
             F.col(id_col).alias("doc"),
@@ -1257,13 +1260,16 @@ def interleaved_near_dup(
         .select("doc", F.col("s").media_ref.alias("media_ref"))
         .where(F.col("media_ref").isNotNull())
         .distinct()
+        .persist()
     )
     sig = media_hashes.select(
         F.col("media_ref").alias("doc"), F.col("phash").alias("simhash")
     )
+    # persisted: the symmetric closure reads rp twice (forward + swapped),
+    # which would run the pigeonhole block join twice
     rp = simhash_near_pairs(
         sig, max_hamming=media_max_hamming, bits=64, max_block_size=max_block_size
-    ).select(F.col("doc_a").alias("rx"), F.col("doc_b").alias("ry"))
+    ).select(F.col("doc_a").alias("rx"), F.col("doc_b").alias("ry")).persist()
     # symmetric closure + identity: matching is a relation over refs, and a
     # ref shared verbatim by two docs is the strongest possible media match
     refpairs = (
