@@ -174,6 +174,42 @@ def restart_flags(c_sched, old_schedule, old_lastcrawltime, now):
     return itag_changed, age_expired, fu
 
 
+def route_inserts(
+    cands: DataFrame, now: float, round_no: int, with_qdelta: bool = False,
+) -> DataFrame:
+    """``route_candidates`` specialized for candidates KNOWN to be absent
+    from the frontier (the URL-seen split's definitely-new half): with
+    every old_* column NULL, the join is the identity, the restart/merge
+    branches all collapse to the plain-insert arm, and the output is one
+    projection — same rows as ``route_candidates(frontier.limit(0), ...)``
+    (pinned by ``test_route_inserts_equals_empty_frontier_route``) at a
+    fraction of the plan-construction and join machinery per round."""
+    from pyspider_spark.types import TRACK_TYPE
+
+    c_sched = F.col("schedule")
+    routed_exe = F.when(c_sched.exetime > F.lit(now), c_sched.exetime).otherwise(
+        F.lit(0.0)
+    )
+    extra = [F.lit(1).alias("_q_delta")] if with_qdelta else []
+    return cands.select(
+        "taskid",
+        "project",
+        "url",
+        "host",
+        F.lit(ACTIVE).cast("int").alias("status"),
+        c_sched.withField("exetime", routed_exe).alias("schedule"),
+        F.col("fetch"),
+        F.col("process"),
+        F.lit(None).cast(TRACK_TYPE).alias("track"),
+        F.lit(None).cast("double").alias("lease_until"),
+        F.col("seq").cast("long").alias("seq"),
+        F.lit(round_no).cast("int").alias("round_no"),
+        F.lit(None).cast("double").alias("lastcrawltime"),
+        F.lit(now).alias("updatetime"),
+        *extra,
+    )
+
+
 def route_candidates(
     frontier: DataFrame, cands: DataFrame, now: float, round_no: int,
     inqueue_limits: dict[str, int] | None = None,

@@ -347,8 +347,13 @@ def run_round(
         definitely_new = definitely_new.persist()
         maybe_seen = maybe_seen.persist()
         split_cached = (definitely_new, maybe_seen)
-        bloom_inserts, _ = route_candidates(
-            f2.limit(0), definitely_new, now, round_no, with_qdelta=True
+        # definitely-new rows take the dedicated insert projection — the
+        # empty-frontier route join was pure plan-construction overhead
+        # (equivalence pinned by test_route_inserts_equals_empty_frontier_route)
+        from pyspider_spark.operators.frontier import route_inserts
+
+        bloom_inserts = route_inserts(
+            definitely_new, now, round_no, with_qdelta=True
         )
         updates, inserts, postponed = route_candidates(
             f2, maybe_seen, now, round_no, split=True, with_qdelta=True,

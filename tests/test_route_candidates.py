@@ -164,3 +164,26 @@ def test_future_exetime_routed_to_time_queue(spark, frontier):
         spark, frontier, [cand_row("new3", "http://h.test/new3", exetime=NOW - 60)]
     )
     assert by_taskid(ups2)["new3"]["schedule"]["exetime"] == 0.0  # past -> ready
+
+
+def test_route_inserts_equals_empty_frontier_route(spark):
+    """r06: the definitely-new fast path must emit byte-identical rows to
+    route_candidates against an empty frontier — same schema, same
+    values, including the exetime routing branch and the _q_delta."""
+    from pyspider_spark.operators.frontier import route_inserts
+
+    cands = merge_candidates(spark.createDataFrame(
+        [
+            cand_row("a", "http://h.test/a", priority=2, seq=7),
+            cand_row("b", "http://h.test/b", exetime=NOW + 60, seq=8),
+            cand_row("c", "http://h.test/c", force_update=True, seq=9),
+        ],
+        CAND_SCHEMA,
+    ))
+    via_route, _ = route_candidates(
+        empty_frontier(spark), cands, NOW, round_no=3, with_qdelta=True
+    )
+    fast = route_inserts(cands, NOW, round_no=3, with_qdelta=True)
+    assert fast.schema == via_route.schema
+    key = lambda r: r["taskid"]
+    assert sorted(fast.collect(), key=key) == sorted(via_route.collect(), key=key)
