@@ -304,7 +304,14 @@ def run_round(
             if cfg.get("retry_delay")
         } or None,
     )
-    f2 = merge_frontier(f, outcome_rows, keys_subset=True)
+    # persisted for the round (unpersists with the cached set): the route
+    # join reads f2 from every split branch and the checkpoint merge reads
+    # it again — ~5 evaluations of the release projection + broadcast
+    # outcome merge per round otherwise (measured 66.3 -> ~52 s at the 20k
+    # crawl bench, checkpoint phase 5.2 -> 2.6 s). At corpus scale the one
+    # cache fill replaces the same number of full-frontier recomputes, so
+    # cached-bytes traffic is neutral-to-better there too.
+    f2 = merge_frontier(f, outcome_rows, keys_subset=True).persist()
 
     # P3/P4/P6 → F11/F12 → F5/F9/F10/F19: follows + postponed replays;
     # candidates carry each project's CURRENT itag (dynamic updates make
@@ -462,7 +469,7 @@ def run_round(
         # unpersisted once the round commits; postponed is safe to drop
         # there because _loop eagerly materializes the replay set
         # (bound_postponed) before out.unpersist()
-        cached=(merged_cands, updates, inserts, postponed, *split_cached),
+        cached=(merged_cands, updates, inserts, postponed, f2, *split_cached),
         results_count=sum(stats.get("results", {}).values()),
         postponed_count=sum(stats.get("postponed", {}).values()),
         routed_count=sum(stats.get("inserted", {}).values())
